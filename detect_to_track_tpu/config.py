@@ -1,0 +1,161 @@
+"""configuration system.
+
+Accepts the reference's flat UPPER_CASE YAML schema (reference:
+cfg/default.yaml:1-50, loaded at train.py:17-20) and extends it with the
+static-shape knobs a TPU build needs (padded label / ROI / track capacities)
+plus mesh/parallelism settings. Unknown keys raise, so a reference config file
+is always valid here and typos are caught early.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import yaml
+
+
+@dataclasses.dataclass
+class Config:
+    """all hyperparameters. Defaults match reference cfg/default.yaml."""
+
+    # --- data (reference cfg/default.yaml:1-10) ---
+    DATA_ROOT: str = ""
+    VID_PARTITION_SIZES: Tuple[float, float] = (0.8, 0.2)
+    TRN_SIZE: int = 10000
+    VAL_SIZE: int = 5000
+    REP_SIZE: int = 15
+    P_DET: float = 0.5  # probability of sampling from DET instead of VID
+    A: float = 0.8  # shape parameter for discrete laplacian distribution
+    N_CLASSES: int = 30
+    BATCH_SIZE: int = 4
+
+    # --- anchors (cfg/default.yaml:12-14) ---
+    ANCHOR_AREAS: Tuple[float, ...] = (0.001, 0.004, 0.016, 0.064, 0.256)
+    ANCHOR_ASPECT_RATIOS: Tuple[float, ...] = (0.5, 1.0, 2.0)
+
+    # --- encoding (cfg/default.yaml:16-18) ---
+    ENCODER_IOU_THRESH: float = 0.5
+    ENCODER_IOU_MARGIN: float = 0.2
+
+    # --- region filtering (cfg/default.yaml:20-23) ---
+    TRAIN_ROI_CONF_THRESH: float = 0.3
+    TRAIN_MAX_ROIS: int = 3000
+    TRAIN_NMS_IOU_THRESH: float = 0.5
+
+    # --- detector settings (cfg/default.yaml:25-29) ---
+    EVAL_ROI_CONF_THRESH: float = 0.3
+    EVAL_MAX_ROIS: int = 3000
+    EVAL_NMS_IOU_THRESH: float = 0.3
+    EVAL_RCNN_CONF_THRESH: float = 0.3
+
+    # --- loss (cfg/default.yaml:31-34) ---
+    ALPHA: float = 0.25
+    GAMMA: float = 2.0
+    COEFS: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0, 1.0e-4)
+
+    # --- optimizer (cfg/default.yaml:36-39) ---
+    SGD_KWARGS: Dict[str, float] = dataclasses.field(
+        default_factory=lambda: {"lr": 1e-2, "weight_decay": 1e-4, "momentum": 0.9}
+    )
+
+    PATIENCE: int = 1000  # iterations with no improvement before quitting
+
+    # --- model (cfg/default.yaml:43-50) ---
+    BACKBONE_ARCH: str = "resnet50"
+    FIRST_TRAINABLE_STAGE: int = 3
+    INPUT_SHAPE: Tuple[int, int] = (608, 1200)
+    FM_STRIDE: int = 16
+    D_MAX: int = 8  # max displacement for pointwise correlation
+    K: int = 7  # pooled map height and width
+
+    # =====================================================================
+    # TPU-native extensions (not in the reference). The reference keeps
+    # dynamic numbers of labels/proposals/tracks and round-trips them through
+    # numpy (reference trainer.py:178-207); XLA needs static shapes, so these
+    # are the padded capacities. All downstream math carries validity masks
+    # so results are unchanged for instances within capacity.
+    # =====================================================================
+    MAX_LABELS: int = 32  # per-frame ground-truth object capacity
+    PRE_NMS_TOPK: int = 1024  # proposals entering on-device NMS
+    MAX_ROIS: int = 256  # proposals surviving NMS -> RCNN (train + eval)
+    MAX_TRACKS: int = 32  # cross-frame matched objects (== MAX_LABELS usually)
+    MAX_DETS: int = 128  # final detections per frame after RCNN filtering
+
+    # quirk flags: the reference has documented bugs/quirks; each can be
+    # replicated (default, for parity) or fixed.
+    # reference encoding.py:147 uses `best_iou < thresh` where the docstring
+    # says `>`. False -> replicate the reference; True -> use `>`.
+    FIX_REGION_MASK_POLARITY: bool = False
+    # reference ps_roipool_cuda.cu:58 indexes channel (t+1)*(i*k+j) instead of
+    # the paper's t*k^2 + i*k + j. False -> replicate; True -> paper layout.
+    FIX_PSROI_CHANNEL_MAP: bool = False
+
+    # compute precision: "float32" or "bfloat16" for backbone/head matmuls.
+    COMPUTE_DTYPE: str = "bfloat16"
+
+    # parallelism: data-parallel mesh size (1 = single chip).
+    NUM_DEVICES: int = 1
+    MESH_AXES: Tuple[str, ...] = ("data",)
+
+    # observability / checkpointing
+    OUTPUT_DIR: str = "output"
+    LOG_EVERY: int = 10
+    CHECKPOINT_KEEP: int = 3
+
+    @property
+    def n_anchors_per_cell(self) -> int:
+        return len(self.ANCHOR_AREAS) * len(self.ANCHOR_ASPECT_RATIOS)
+
+    @property
+    def fm_shape(self) -> Tuple[int, int]:
+        h, w = self.INPUT_SHAPE
+        return (h // self.FM_STRIDE, w // self.FM_STRIDE)
+
+    @property
+    def n_anchors(self) -> int:
+        fh, fw = self.fm_shape
+        return fh * fw * self.n_anchors_per_cell
+
+    def replace(self, **kwargs) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+
+_TUPLE_FIELDS = {
+    "VID_PARTITION_SIZES",
+    "ANCHOR_AREAS",
+    "ANCHOR_ASPECT_RATIOS",
+    "COEFS",
+    "INPUT_SHAPE",
+    "MESH_AXES",
+}
+
+
+def load_config(path: Optional[str] = None, **overrides) -> Config:
+    """load a Config from a flat-key YAML file (reference schema) plus
+    keyword overrides."""
+    raw: Dict = {}
+    if path is not None:
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+    raw.update(overrides)
+
+    valid = {f.name for f in dataclasses.fields(Config)}
+    unknown = set(raw) - valid
+    if unknown:
+        raise KeyError(f"unknown config keys: {sorted(unknown)}")
+
+    for k in list(raw):
+        if k in _TUPLE_FIELDS and isinstance(raw[k], (list, tuple)):
+            raw[k] = tuple(raw[k])
+    return Config(**raw)
+
+
+def save_config(cfg: Config, path: str) -> None:
+    d = dataclasses.asdict(cfg)
+    for k in _TUPLE_FIELDS:
+        d[k] = list(d[k])
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        yaml.safe_dump(d, f, sort_keys=False)
