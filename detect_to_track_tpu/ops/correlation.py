@@ -1,0 +1,485 @@
+"""pointwise local correlation (FlowNet-style) as a Pallas TPU kernel.
+
+Semantics match reference pointwise_correlation_cuda.cu:63-111 (oracle:
+lax_ref.pointwise_correlation_ref), including the window-truncation quirk
+(the +d_max displacement row/col of the (2d+1)^2 output is always zero) and
+the stride phase behavior near the top/left boundary.
+
+TPU-first design (vs. the CUDA one-thread-per-pixel kernel):
+- feature maps are NHWC; a (TILE_H+2d, W+2d, C_BLK) halo window of FM1 is
+  DMA'd from HBM into VMEM once per tile, then ALL (2d)^2 displacement
+  planes are computed from VMEM. HBM traffic is ~one read of each feature
+  map instead of one read per displacement (289x less than a naive XLA
+  unrolling).
+- channels are blocked (grid dim, sequentially revisited) so c4/c5-sized
+  maps (1024/2048 ch) stay inside the ~16 MB VMEM budget; partial dot
+  products accumulate into the revisited f32 output block.
+- the backward is two gather-style Pallas kernels (each output element owns
+  its full sum) -- no atomicAdd scatter like the CUDA backward
+  (pointwise_correlation_cuda.cu:154-171).
+
+Off-TPU (tests, CPU) the same custom_vjp wraps interpret-mode kernels, or
+`impl="xla"` falls back to the differentiable lax oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .lax_ref import correlation_window_masks, pointwise_correlation_ref
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _row_mask(h0, tile_h: int, size: int, offset: int, d_max: int, stride: int):
+    """in-kernel stride/range mask over a tile's global source rows
+    (see lax_ref.correlation_window_masks)."""
+    gi = h0 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1), 0)
+    di = gi + offset
+    in_range = (di >= 0) & (di < size) & (di < gi + d_max)
+    start = jnp.maximum(0, gi - d_max)
+    on_phase = (di - start) % stride == 0
+    return (in_range & on_phase).astype(jnp.float32)  # (tile_h, 1)
+
+
+def _col_mask(size: int, offset: int, d_max: int, stride: int):
+    gj = jax.lax.broadcasted_iota(jnp.int32, (1, size), 1)
+    dj = gj + offset
+    in_range = (dj >= 0) & (dj < size) & (dj < gj + d_max)
+    start = jnp.maximum(0, gj - d_max)
+    on_phase = (dj - start) % stride == 0
+    return (in_range & on_phase).astype(jnp.float32)  # (1, size)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    fm0_ref,  # (1, TH, W, CB) VMEM
+    fm1_ref,  # (B, HP+2d, W+2d, C) HBM/ANY
+    out_ref,  # (1, K2, TH, W) VMEM (f32, revisited over channel blocks)
+    halo,  # (TH+2d, W+2d, CB) VMEM scratch
+    sem,
+    *,
+    d_max: int,
+    stride: int,
+    tile_h: int,
+    h: int,
+    w: int,
+    c_blk: int,
+):
+    b = pl.program_id(0)
+    hi = pl.program_id(1)
+    ci = pl.program_id(2)
+    k = 2 * d_max + 1
+
+    dma = pltpu.make_async_copy(
+        fm1_ref.at[
+            b,
+            pl.ds(hi * tile_h, tile_h + 2 * d_max),
+            slice(None),
+            pl.ds(ci * c_blk, c_blk),
+        ],
+        halo,
+        sem,
+    )
+    dma.start()
+
+    @pl.when(ci == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    dma.wait()
+
+    f0 = fm0_ref[0].astype(jnp.float32)  # (TH, W, CB)
+    h0 = hi * tile_h
+
+    # di (rows) is a dynamic fori index -- dim 0 of the halo is untiled so
+    # Mosaic allows unaligned dynamic slicing there; dj (cols) indexes the
+    # sublane-tiled dim and must be static, so it is Python-unrolled.
+    def body(di, _):
+        rows = halo[pl.ds(di, tile_h)].astype(jnp.float32)  # (TH, W+2d, CB)
+        rmask = None
+        if stride > 1:
+            rmask = _row_mask(h0, tile_h, h, di - d_max, d_max, stride)
+        for dj in range(2 * d_max):
+            prod = jnp.sum(f0 * rows[:, dj : dj + w, :], axis=-1)  # (TH, W)
+            if stride > 1:
+                prod = prod * rmask
+                prod = prod * _col_mask(w, dj - d_max, d_max, stride)
+            out_ref[0, di * k + dj] += prod
+        return 0
+
+    jax.lax.fori_loop(0, 2 * d_max, body, 0)
+
+
+# ---------------------------------------------------------------------------
+# backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _bwd_fm0_kernel(
+    g_ref,  # (1, K2, TH, W) VMEM
+    fm1_ref,  # (B, HP+2d, W+2d, C) HBM
+    out_ref,  # (1, TH, W, CB) VMEM
+    halo,  # (TH+2d, W+2d, CB) VMEM scratch
+    sem,
+    *,
+    d_max: int,
+    stride: int,
+    tile_h: int,
+    h: int,
+    w: int,
+    c_blk: int,
+):
+    """dFM0[i,j,:] = sum_planes g[i,j,p] * FM1[i+oi, j+oj, :]  (gather)."""
+    b = pl.program_id(0)
+    hi = pl.program_id(1)
+    ci = pl.program_id(2)
+    k = 2 * d_max + 1
+
+    dma = pltpu.make_async_copy(
+        fm1_ref.at[
+            b,
+            pl.ds(hi * tile_h, tile_h + 2 * d_max),
+            slice(None),
+            pl.ds(ci * c_blk, c_blk),
+        ],
+        halo,
+        sem,
+    )
+    dma.start()
+    out_ref[...] = jnp.zeros_like(out_ref)
+    dma.wait()
+
+    h0 = hi * tile_h
+
+    def body(di, _):
+        rows = halo[pl.ds(di, tile_h)].astype(jnp.float32)  # (TH, W+2d, CB)
+        rmask = None
+        if stride > 1:
+            rmask = _row_mask(h0, tile_h, h, di - d_max, d_max, stride)
+        acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
+        for dj in range(2 * d_max):
+            g = g_ref[0, di * k + dj].astype(jnp.float32)  # (TH, W)
+            if stride > 1:
+                g = g * rmask
+                g = g * _col_mask(w, dj - d_max, d_max, stride)
+            acc = acc + g[:, :, None] * rows[:, dj : dj + w, :]
+        out_ref[0] += acc
+        return 0
+
+    jax.lax.fori_loop(0, 2 * d_max, body, 0)
+
+
+def _bwd_fm1_kernel(
+    g_ref,  # (B, K2, HP+2d, W+2d) HBM (zero-padded grads)
+    fm0_ref,  # (B, HP+2d, W+2d, C) HBM (zero-padded)
+    out_ref,  # (1, TH, W, CB) VMEM
+    g_halo,  # (K2, TH+2d, W+2d) VMEM scratch
+    f_halo,  # (TH+2d, W+2d, CB) VMEM scratch
+    sems,  # (2,) DMA semaphores
+    *,
+    d_max: int,
+    stride: int,
+    tile_h: int,
+    h: int,
+    w: int,
+    c_blk: int,
+):
+    """dFM1[p,q,:] = sum_planes g[p-oi, q-oj, plane] * FM0[p-oi, q-oj, :].
+
+    Gather formulation of the reference's atomicAdd scatter
+    (pointwise_correlation_cuda.cu:169): each dFM1 element sums over the
+    displacement window that references it.
+    """
+    b = pl.program_id(0)
+    hi = pl.program_id(1)
+    ci = pl.program_id(2)
+    k = 2 * d_max + 1
+    th = tile_h
+
+    cp_g = pltpu.make_async_copy(
+        g_ref.at[b, slice(None), pl.ds(hi * th, th + 2 * d_max), slice(None)],
+        g_halo,
+        sems.at[0],
+    )
+    cp_f = pltpu.make_async_copy(
+        fm0_ref.at[
+            b,
+            pl.ds(hi * th, th + 2 * d_max),
+            slice(None),
+            pl.ds(ci * c_blk, c_blk),
+        ],
+        f_halo,
+        sems.at[1],
+    )
+    cp_g.start()
+    cp_f.start()
+    out_ref[...] = jnp.zeros_like(out_ref)
+    cp_g.wait()
+    cp_f.wait()
+
+    h0 = hi * th
+
+    # all indices here touch tiled dims, so both displacement loops are
+    # statically unrolled ((2d)^2 iterations); accumulation goes straight
+    # into the VMEM output block so per-iteration temporaries stay dead.
+    for di in range(2 * d_max):
+        for dj in range(2 * d_max):
+            plane = di * k + dj
+            # source pixel (i, j) = (p - oi, q - oj); in halo coordinates
+            # the window starts at 2d - di rows / 2d - dj cols (zero padding
+            # covers out-of-image sources).
+            g = g_halo[plane, 2 * d_max - di : 2 * d_max - di + th,
+                       2 * d_max - dj : 2 * d_max - dj + w]
+            g = g.astype(jnp.float32)
+            f0 = f_halo[2 * d_max - di : 2 * d_max - di + th,
+                        2 * d_max - dj : 2 * d_max - dj + w, :]
+            f0 = f0.astype(jnp.float32)
+            if stride > 1:
+                # masks are evaluated at the SOURCE pixel i = p - oi: shift
+                # the mask origin by d_max - di rows.
+                g = g * _row_mask(
+                    h0 + d_max - di, th, h, di - d_max, d_max, stride
+                )
+                g = g * _col_mask_shift(w, dj, d_max, stride)
+            out_ref[0] += g[:, :, None] * f0
+
+
+def _col_mask_shift(size: int, dj: int, d_max: int, stride: int):
+    """column mask for _bwd_fm1_kernel evaluated at source col j = q - oj."""
+    q = jax.lax.broadcasted_iota(jnp.int32, (1, size), 1)
+    j = q - (dj - d_max)
+    target = j + (dj - d_max)  # == q
+    in_range = (j >= 0) & (j < size) & (target < j + d_max)
+    start = jnp.maximum(0, j - d_max)
+    on_phase = (target - start) % stride == 0
+    return (in_range & on_phase).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+def _plan(b, h, w, c, d_max):
+    tile_h = min(8, _round_up(h, 4))
+    hp = _round_up(h, tile_h)
+    c_blk = min(c, 256)
+    cp = _round_up(c, c_blk)
+    grid = (b, hp // tile_h, cp // c_blk)
+    # manual-DMA'd buffers need tiling-aligned shapes: the apron'd width is
+    # padded to a sublane multiple (feature maps; W+2d is second-minor) or a
+    # lane multiple (gradient planes; W+2d is minor).
+    w8 = _round_up(w + 2 * d_max, 8)
+    w128 = _round_up(w + 2 * d_max, 128)
+    return tile_h, hp, c_blk, cp, grid, w8, w128
+
+
+def _pad_to(x, h_to, w_to, *, h_axis=1, w_axis=2):
+    pads = [(0, 0)] * x.ndim
+    pads[h_axis] = (0, h_to - x.shape[h_axis])
+    pads[w_axis] = (0, w_to - x.shape[w_axis])
+    return jnp.pad(x, pads)
+
+
+def _corr_fwd_pallas(fm0, fm1, d_max, stride, interpret):
+    b, h, w, c = fm0.shape
+    k = 2 * d_max + 1
+    tile_h, hp, c_blk, cp, grid, w8, w128 = _plan(b, h, w, c, d_max)
+
+    fm0_p = _pad_to(fm0, hp, w)
+    if cp != c:
+        fm0_p = jnp.pad(fm0_p, ((0, 0), (0, 0), (0, 0), (0, cp - c)))
+    # fm1 zero-padded with a d-wide apron (plus row padding to the tile grid).
+    fm1_p = jnp.pad(
+        fm1,
+        (
+            (0, 0),
+            (d_max, hp - h + d_max),
+            (d_max, w8 - w - d_max),
+            (0, cp - c),
+        ),
+    )
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        d_max=d_max,
+        stride=stride,
+        tile_h=tile_h,
+        h=h,
+        w=w,
+        c_blk=c_blk,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile_h, w, c_blk),
+                lambda bb, hh, cc: (bb, hh, 0, cc),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, k * k, tile_h, w),
+            lambda bb, hh, cc: (bb, 0, hh, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, k * k, hp, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2 * d_max, w8, c_blk), fm0.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(fm0_p, fm1_p)
+
+    out = out[:, :, :h, :]  # (B, K2, H, W)
+    return jnp.transpose(out, (0, 2, 3, 1)).reshape(b, h, w, k, k)
+
+
+def _corr_bwd_pallas(fm0, fm1, g, d_max, stride, interpret):
+    b, h, w, c = fm0.shape
+    k = 2 * d_max + 1
+    tile_h, hp, c_blk, cp, grid, w8, w128 = _plan(b, h, w, c, d_max)
+
+    g = jnp.transpose(
+        g.reshape(b, h, w, k * k).astype(jnp.float32), (0, 3, 1, 2)
+    )  # (B, K2, H, W)
+    g_tiles = _pad_to(g, hp, w, h_axis=2, w_axis=3)
+
+    fm1_p = jnp.pad(
+        fm1,
+        ((0, 0), (d_max, hp - h + d_max), (d_max, w8 - w - d_max), (0, cp - c)),
+    )
+
+    common = dict(
+        d_max=d_max, stride=stride, tile_h=tile_h, h=h, w=w, c_blk=c_blk
+    )
+
+    dfm0 = pl.pallas_call(
+        functools.partial(_bwd_fm0_kernel, **common),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, k * k, tile_h, w),
+                lambda bb, hh, cc: (bb, 0, hh, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, w, c_blk),
+            lambda bb, hh, cc: (bb, hh, 0, cc),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hp, w, cp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2 * d_max, w8, c_blk), fm1.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(g_tiles, fm1_p)
+
+    g_pad = jnp.pad(
+        g, ((0, 0), (0, 0), (d_max, hp - h + d_max), (d_max, w128 - w - d_max))
+    )  # (B, K2, HP+2d, W128)
+    fm0_p = jnp.pad(
+        fm0,
+        ((0, 0), (d_max, hp - h + d_max), (d_max, w8 - w - d_max), (0, cp - c)),
+    )
+
+    dfm1 = pl.pallas_call(
+        functools.partial(_bwd_fm1_kernel, **common),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, w, c_blk),
+            lambda bb, hh, cc: (bb, hh, 0, cc),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hp, w, cp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((k * k, tile_h + 2 * d_max, w128), jnp.float32),
+            pltpu.VMEM((tile_h + 2 * d_max, w8, c_blk), fm0.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(g_pad, fm0_p)
+
+    dfm0 = dfm0[:, :h, :, :c].astype(fm0.dtype)
+    dfm1 = dfm1[:, :h, :, :c].astype(fm1.dtype)
+    return dfm0, dfm1
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _corr_pallas(fm0, fm1, d_max, stride, interpret):
+    return _corr_fwd_pallas(fm0, fm1, d_max, stride, interpret)
+
+
+def _corr_pallas_fwd(fm0, fm1, d_max, stride, interpret):
+    return _corr_fwd_pallas(fm0, fm1, d_max, stride, interpret), (fm0, fm1)
+
+
+def _corr_pallas_bwd(d_max, stride, interpret, res, g):
+    fm0, fm1 = res
+    return _corr_bwd_pallas(fm0, fm1, g, d_max, stride, interpret)
+
+
+_corr_pallas.defvjp(_corr_pallas_fwd, _corr_pallas_bwd)
+
+
+def pointwise_correlation(
+    fm0: jnp.ndarray,
+    fm1: jnp.ndarray,
+    d_max: int,
+    stride: int = 1,
+    impl: str = "auto",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """pointwise local correlation between two feature maps.
+
+    Args:
+        fm0, fm1: (B, H, W, C) feature maps at times t and t+tau (NHWC).
+        d_max: maximum displacement.
+        stride: displacement stride.
+        impl: "pallas" | "xla" | "auto" (pallas on TPU backends).
+        interpret: run the Pallas kernels in interpreter mode (CPU testing).
+
+    Returns:
+        out: (B, H, W, 2*d_max+1, 2*d_max+1) f32 correlation volumes.
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "xla":
+        return pointwise_correlation_ref(fm0, fm1, d_max, stride)
+    return _corr_pallas(fm0, fm1, d_max, stride, interpret)

@@ -1,0 +1,150 @@
+"""on-device proposal filtering: confidence gate -> top-k -> greedy NMS.
+
+The reference filters proposals on the HOST through numpy
+(ml_utils PredictionFilterPipeline = ConfidenceFilter -> MaxDetFilter ->
+NMSFilter, used at reference trainer.py:98-102 / inference.py:37-41), forcing
+a device->host->device round-trip per frame (trainer.py:178-207). Here the
+whole pipeline is fixed-shape jnp running inside the jitted step:
+
+- ConfidenceFilter(thresh):   scores <= thresh are masked out
+- MaxDetFilter(n):            lax.top_k with n = pre_nms_topk
+- NMSFilter(iou):             exact greedy NMS as a fori_loop over the
+                              score-sorted candidates (O(k^2) work, k^2 IoU
+                              matrix computed once on the VPU)
+
+plus a post-NMS capacity cap (max_rois) that the reference does not have --
+XLA needs a static bound; survivors beyond it (rare at working thresholds)
+are dropped lowest-score-first.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..boxes import compute_ious
+
+
+class Proposals(NamedTuple):
+    boxes: jnp.ndarray  # (k, 4) ijhw, score-descending
+    scores: jnp.ndarray  # (k,)
+    valid: jnp.ndarray  # (k,) bool
+
+
+def top_k_proposals(
+    scores: jnp.ndarray, boxes: jnp.ndarray, conf_thresh: float, k: int
+) -> Proposals:
+    """confidence gate + top-k (ConfidenceFilter -> MaxDetFilter).
+
+    Args:
+        scores: (|A|,) objectness scores.
+        boxes: (|A|, 4) decoded ijhw boxes.
+    """
+    gated = jnp.where(scores > conf_thresh, scores, -jnp.inf)
+    top_scores, idx = jax.lax.top_k(gated, k)
+    return Proposals(
+        boxes=boxes[idx],
+        scores=top_scores,
+        valid=jnp.isfinite(top_scores),
+    )
+
+
+def nms_mask(
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_thresh: float,
+) -> jnp.ndarray:
+    """exact greedy NMS keep-mask over score-DESCENDING candidates.
+
+    Args:
+        boxes: (k, 4) ijhw boxes sorted by descending score.
+        valid: (k,) bool.
+
+    Returns:
+        keep: (k,) bool.
+    """
+    k = boxes.shape[0]
+    overlaps = compute_ious(boxes, boxes) > iou_thresh  # (k, k)
+    order = jnp.arange(k)
+
+    def body(i, state):
+        keep, suppressed = state
+        keep_i = valid[i] & ~suppressed[i]
+        keep = keep.at[i].set(keep_i)
+        # a kept box suppresses all LOWER-priority overlapping boxes.
+        suppressed = suppressed | (keep_i & overlaps[i] & (order > i))
+        return keep, suppressed
+
+    keep, _ = jax.lax.fori_loop(
+        0, k, body, (jnp.zeros(k, bool), jnp.zeros(k, bool))
+    )
+    return keep
+
+
+@partial(jax.jit, static_argnums=(2, 5))
+def proposal_filter(
+    scores: jnp.ndarray,
+    boxes: jnp.ndarray,
+    pre_nms_topk: int,
+    conf_thresh: float,
+    nms_iou_thresh: float,
+    max_rois: int,
+) -> Proposals:
+    """full pipeline for one frame: gate -> top-k -> NMS -> cap.
+
+    Returns Proposals with (max_rois, 4) boxes (score-descending) + mask.
+    """
+    p = top_k_proposals(scores, boxes, conf_thresh, pre_nms_topk)
+    keep = nms_mask(p.boxes, p.valid, nms_iou_thresh)
+
+    # compact survivors to the front, preserving score order: kept entries
+    # get their own index as sort key, dropped entries get +inf.
+    key = jnp.where(keep, jnp.arange(pre_nms_topk), pre_nms_topk)
+    order = jnp.argsort(key)[:max_rois]
+    return Proposals(
+        boxes=p.boxes[order],
+        scores=jnp.where(keep[order], p.scores[order], 0.0),
+        valid=keep[order],
+    )
+
+
+def batched_proposal_filter(
+    scores: jnp.ndarray,
+    boxes: jnp.ndarray,
+    pre_nms_topk: int,
+    conf_thresh: float,
+    nms_iou_thresh: float,
+    max_rois: int,
+) -> Proposals:
+    """vmap of proposal_filter over a leading batch axis.
+
+    Args:
+        scores: (B, |A|); boxes: (B, |A|, 4).
+    """
+    return jax.vmap(
+        lambda s, b: proposal_filter(
+            s, b, pre_nms_topk, conf_thresh, nms_iou_thresh, max_rois
+        )
+    )(scores, boxes)
+
+
+def nms_np(scores, boxes, iou_thresh):
+    """host-side numpy greedy NMS (ml_utils.prediction_filtering.NMSFilter
+    parity); returns indices of kept boxes in score-descending order."""
+    import numpy as np
+
+    from ..boxes import compute_ious_np
+
+    order = np.argsort(-scores, kind="stable")
+    ious = compute_ious_np(boxes, boxes)
+    kept = []
+    suppressed = np.zeros(len(scores), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        kept.append(i)
+        suppressed |= ious[i] > iou_thresh
+    return np.asarray(kept, np.int64)

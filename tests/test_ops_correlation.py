@@ -1,0 +1,108 @@
+"""tests for pointwise correlation: oracle semantics vs a scalar-loop numpy
+transcription of the CUDA kernel, Pallas (interpret mode) vs oracle, and
+gradient parity (jax analogue of reference
+tests/test_pointwise_correlation.py)."""
+
+import jax
+from jax.test_util import check_grads
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from detect_to_track_tpu.ops import pointwise_correlation, pointwise_correlation_ref
+
+
+def _direct_corr(fm0, fm1, d_max, stride):
+    """scalar-loop transcription of pointwise_correlation_cuda.cu:75-110
+    (numpy, NHWC inputs)."""
+    B, H, W, C = fm0.shape
+    k = 2 * d_max + 1
+    out = np.zeros((B, H, W, k, k), np.float32)
+    for b in range(B):
+        for i in range(H):
+            for j in range(W):
+                for di in range(max(0, i - d_max), min(i + d_max, H), stride):
+                    for dj in range(
+                        max(0, j - d_max), min(j + d_max, W), stride
+                    ):
+                        out[b, i, j, di - i + d_max, dj - j + d_max] = np.dot(
+                            fm0[b, i, j], fm1[b, di, dj]
+                        )
+    return out
+
+
+@pytest.mark.parametrize("d_max", [2, 3])
+@pytest.mark.parametrize("stride", [1, 2])
+@pytest.mark.parametrize("hw", [(7, 7), (8, 6)])
+def test_corr_ref_matches_cuda_semantics(d_max, stride, hw, rng):
+    fm0 = rng.rand(2, *hw, 3).astype(np.float32)
+    fm1 = rng.rand(2, *hw, 3).astype(np.float32)
+    expected = _direct_corr(fm0, fm1, d_max, stride)
+    got = np.asarray(pointwise_correlation_ref(fm0, fm1, d_max, stride))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_corr_truncation_quirk(rng):
+    """the +d_max displacement row/col must be exactly zero
+    (pointwise_correlation_cuda.cu:92-93 upper bound excludes i+d)."""
+    fm0 = rng.rand(1, 9, 9, 4).astype(np.float32) + 1
+    fm1 = rng.rand(1, 9, 9, 4).astype(np.float32) + 1
+    out = np.asarray(pointwise_correlation_ref(fm0, fm1, 2, 1))
+    assert (out[..., -1, :] == 0).all()
+    assert (out[..., :, -1] == 0).all()
+    assert (out[..., :-1, :-1] != 0).any()
+
+
+@pytest.mark.parametrize("d_max", [2, 3])
+@pytest.mark.parametrize("stride", [1, 2])
+@pytest.mark.parametrize("b", [1, 2])
+@pytest.mark.parametrize("hw", [(10, 10), (11, 9)])
+def test_corr_pallas_matches_ref(d_max, stride, b, hw, rng):
+    fm0 = rng.rand(b, *hw, 5).astype(np.float32)
+    fm1 = rng.rand(b, *hw, 5).astype(np.float32)
+    ref = np.asarray(pointwise_correlation_ref(fm0, fm1, d_max, stride))
+    got = np.asarray(
+        pointwise_correlation(fm0, fm1, d_max, stride, impl="pallas", interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_corr_ref_gradcheck(rng):
+    fm0 = rng.rand(1, 6, 6, 2).astype(np.float32)
+    fm1 = rng.rand(1, 6, 6, 2).astype(np.float32)
+    check_grads(
+        lambda a, b: (pointwise_correlation_ref(a, b, 2, 1) ** 2).sum(),
+        (fm0, fm1),
+        order=1,
+        modes=["rev"],
+        rtol=1e-2,
+        atol=1e-2,
+    )
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_corr_pallas_grads_match_ref_grads(stride, rng):
+    """custom-VJP Pallas backward must agree with autodiff through the
+    oracle (the TPU analogue of reference gradcheck,
+    tests/test_pointwise_correlation.py:8-22)."""
+    d_max = 2
+    fm0 = rng.rand(2, 9, 8, 3).astype(np.float32)
+    fm1 = rng.rand(2, 9, 8, 3).astype(np.float32)
+
+    def loss_ref(a, b):
+        return (pointwise_correlation_ref(a, b, d_max, stride) ** 2).sum()
+
+    def loss_pallas(a, b):
+        out = pointwise_correlation(
+            a, b, d_max, stride, impl="pallas", interpret=True
+        )
+        return (out**2).sum()
+
+    g0_ref, g1_ref = jax.grad(loss_ref, argnums=(0, 1))(fm0, fm1)
+    g0_p, g1_p = jax.grad(loss_pallas, argnums=(0, 1))(fm0, fm1)
+    np.testing.assert_allclose(
+        np.asarray(g0_p), np.asarray(g0_ref), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(g1_p), np.asarray(g1_ref), rtol=1e-3, atol=1e-4
+    )
