@@ -205,10 +205,12 @@ def track_encode(
     valid = jnp.any(match, axis=1)  # (L,)
     j = jnp.argmax(match, axis=1)  # first match in frame 1
 
-    # unmatched slots encode a box against itself -> zero targets (masked out
-    # downstream anyway).
-    target_boxes = jnp.where(valid[:, None], boxes_1[j], boxes_0)
-    t_star = frcnn_box_encode(boxes_0, target_boxes)
+    # invalid slots encode a unit box against itself -> exact zeros; padding
+    # boxes are all-zero and would otherwise divide by hw = 0.
+    unit = jnp.array([0.5, 0.5, 1.0, 1.0], boxes_0.dtype)
+    safe_0 = jnp.where(valid[:, None], boxes_0, unit)
+    safe_1 = jnp.where(valid[:, None], boxes_1[j], unit)
+    t_star = frcnn_box_encode(safe_0, safe_1)
 
     return TrackTargets(boxes_0, t_star, valid)
 

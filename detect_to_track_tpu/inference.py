@@ -1,0 +1,154 @@
+"""inference: the "detect" part of detect-to-track.
+
+Behavioral parity with reference detect_to_track/inference.py:21-121
+(Detector), re-architected so that EVERYTHING between image upload and final
+box download runs in ONE jitted graph on device:
+
+    backbone -> RPN -> decode -> conf-gate/top-k/NMS (on device, see
+    ops/nms.py) -> R-FCN -> decode -> non-background filter -> tracker
+
+The reference round-trips through numpy four times per pair
+(inference.py:78-84, 98-106, 115, 119); here a single device->host transfer
+returns padded detections + masks, and the host wrapper trims them to the
+reference's dynamic-shape API:
+
+    confs0, confs1, bboxes0, bboxes1, tracks = detector(im0, im1)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .anchors import build_anchors
+from .config import Config
+from .encoding import frcnn_box_decode
+from .models import DetectTrackModule
+from .ops.nms import batched_proposal_filter
+
+
+class PairDetections(NamedTuple):
+    """fixed-shape per-pair outputs (leading axis 2 = frames)."""
+
+    confs: jnp.ndarray  # (2, D, C+1) softmaxed class confidences
+    boxes: jnp.ndarray  # (2, D, 4) ijhw
+    valid: jnp.ndarray  # (2, D) bool
+    tracks: jnp.ndarray  # (D, 4) frame0->frame1 transforms (frame-0 slots)
+
+
+def detect_pair(
+    model: DetectTrackModule,
+    variables,
+    images: jnp.ndarray,
+    anchors: jnp.ndarray,
+    cfg: Config,
+) -> PairDetections:
+    """jit-able forward for one frame pair.
+
+    Args:
+        images: (2, H, W, 3) float32 in [0, 1] -- frames t and t+tau.
+        anchors: (|A|, 4).
+
+    Mirrors reference inference.py:54-121 stage by stage.
+    """
+    fmaps = model.apply(variables, images, method="backbone")
+
+    o_hat, b_hat, fm_reg = model.apply(variables, fmaps["c4"], method="rpn")
+    scores = o_hat[:, :, 1]  # (2, |A|) objectness
+    rboxes = frcnn_box_decode(anchors[None], b_hat)  # (2, |A|, 4)
+
+    props = batched_proposal_filter(
+        scores,
+        rboxes,
+        cfg.PRE_NMS_TOPK,
+        cfg.EVAL_ROI_CONF_THRESH,
+        cfg.EVAL_NMS_IOU_THRESH,
+        cfg.MAX_ROIS,
+    )  # boxes (2, R, 4), valid (2, R)
+
+    c_hat, b2_hat = model.apply(
+        variables, fmaps["c5"], props.boxes, method="rcnn"
+    )  # (2, R, C+1), (2, R, 4)
+    det_boxes = frcnn_box_decode(props.boxes, b2_hat)  # (2, R, 4)
+
+    # non-background filter (reference inference.py:44-52):
+    # keep where sum of non-background confidences > thresh.
+    fg_conf = c_hat[:, :, 1:].sum(-1)  # (2, R)
+    keep = (fg_conf > cfg.EVAL_RCNN_CONF_THRESH) & props.valid
+
+    # compact the survivors to MAX_DETS slots per frame, highest fg-conf
+    # first (a capacity the reference does not need host-side; fg_conf
+    # ordering preserves the strongest detections).
+    d = cfg.MAX_DETS
+
+    def compact(keep_f, conf_f, confs_f, boxes_f):
+        key = jnp.where(keep_f, conf_f, -jnp.inf)
+        top, idx = jax.lax.top_k(key, d)
+        return confs_f[idx], boxes_f[idx], jnp.isfinite(top)
+
+    confs, boxes, valid = jax.vmap(compact)(keep, fg_conf, c_hat, det_boxes)
+
+    # tracker on frame-0 final boxes (reference inference.py:108-118).
+    pyr0 = {k: v[0:1] for k, v in fmaps.items()}
+    pyr1 = {k: v[1:2] for k, v in fmaps.items()}
+    tracks = model.apply(
+        variables,
+        pyr0,
+        pyr1,
+        fm_reg[0:1],
+        fm_reg[1:2],
+        boxes[0:1],
+        method="c_tracker",
+    )[0]  # (D, 4)
+
+    return PairDetections(confs=confs, boxes=boxes, valid=valid, tracks=tracks)
+
+
+class Detector:
+    """host-facing detector with the reference's API
+    (reference inference.py:21-121): __call__(im0, im1) ->
+    (confs0, confs1, bboxes0, bboxes1, tracks) as trimmed numpy arrays.
+
+    Accepts PIL images (resized per cfg.INPUT_SHAPE) or pre-sized numpy
+    arrays (H, W, 3) in [0, 1].
+    """
+
+    def __init__(
+        self, model: DetectTrackModule, variables, cfg: Config
+    ) -> None:
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        self.anchors = jnp.asarray(
+            build_anchors(cfg.fm_shape, cfg.ANCHOR_AREAS, cfg.ANCHOR_ASPECT_RATIOS)
+        )
+        self._fwd = jax.jit(
+            functools.partial(detect_pair, model, cfg=cfg)
+        )
+
+    def _to_array(self, im) -> np.ndarray:
+        if isinstance(im, np.ndarray):
+            return im.astype(np.float32)
+        from .utils import image_to_input
+
+        return image_to_input(im, self.cfg.INPUT_SHAPE)
+
+    def __call__(self, im0, im1) -> Tuple[np.ndarray, ...]:
+        x = np.stack([self._to_array(im0), self._to_array(im1)])
+        out = self._fwd(self.variables, jnp.asarray(x), self.anchors)
+        confs = np.asarray(out.confs)
+        boxes = np.asarray(out.boxes)
+        valid = np.asarray(out.valid)
+        tracks = np.asarray(out.tracks)
+        v0, v1 = valid[0], valid[1]
+        return (
+            confs[0][v0],
+            confs[1][v1],
+            boxes[0][v0],
+            boxes[1][v1],
+            tracks[v0],
+        )

@@ -30,11 +30,17 @@ from flax import struct
 _LOG_CLAMP = -100.0  # torch.nn.BCELoss clamps log terms at -100
 
 
+def _safe_log(x: jnp.ndarray) -> jnp.ndarray:
+    """log clamped at -100 (torch BCELoss semantics) with a NaN-free
+    gradient at x == 0: maximum() alone still evaluates d(log)/dx = 1/x
+    there, and 0 * inf = NaN would poison the backward."""
+    safe = jnp.where(x <= 0.0, 1.0, x)
+    return jnp.where(x <= 0.0, _LOG_CLAMP, jnp.maximum(jnp.log(safe), _LOG_CLAMP))
+
+
 def _bce(p: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """elementwise binary cross-entropy on probabilities, torch-compatible."""
-    log_p = jnp.maximum(jnp.log(p), _LOG_CLAMP)
-    log_1p = jnp.maximum(jnp.log1p(-p), _LOG_CLAMP)
-    return -(y * log_p + (1.0 - y) * log_1p)
+    return -(y * _safe_log(p) + (1.0 - y) * _safe_log(1.0 - p))
 
 
 def focal_loss(
@@ -96,10 +102,14 @@ def rpn_loss(
 
 
 def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """mean over entries where mask is True; 0 if nothing is valid."""
-    mask = mask.astype(x.dtype)
-    count = mask.sum()
-    return jnp.where(count > 0, (x * mask).sum() / jnp.maximum(count, 1.0), 0.0)
+    """mean over entries where mask is True; 0 if nothing is valid.
+    NaN-proof: masked-out entries are dropped with `where`, not multiplied,
+    so garbage in padding slots (e.g. targets encoded against zero-size
+    padding boxes) cannot poison the mean."""
+    mask = mask.astype(bool)
+    count = mask.sum().astype(x.dtype)
+    total = jnp.where(mask, x, 0.0).sum()
+    return jnp.where(count > 0, total / jnp.maximum(count, 1.0), 0.0)
 
 
 def rcnn_loss(

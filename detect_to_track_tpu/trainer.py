@@ -1,0 +1,437 @@
+"""approximate joint training of the full detect-to-track system.
+
+Re-architecture of reference detect_to_track/trainer.py. The reference's
+training step is a Python loop over single instances with >=6 host<->device
+round-trips each (trainer.py:133-266: numpy anchor encoding while the GPU
+idles, RPN outputs downloaded for NMS, rois re-uploaded, ...). Here the
+ENTIRE joint loss -- backbone, RPN + anchor targets, on-device proposal
+filtering, R-FCN + region targets, correlation tracker + track targets, all
+five losses -- is ONE jitted, batched, differentiable function; the
+minibatch dimension is a real batch axis instead of a Python loop
+(reference trainer.py:262-266), and data parallelism is a sharding
+annotation on that axis (parallel/mesh.py), not a code change.
+
+Semantics preserved (each vs. the reference):
+- approximate joint training: ONE optimizer, ONE backward; no gradient flows
+  RPN -> RCNN through the proposals (stop_gradient where the reference
+  crosses through numpy; trainer.py:46-51, 178-207).
+- per-instance loss averaging: RCNN/track losses are per-pair masked means
+  (a pair's frames concatenated, empty pairs contribute 0) averaged over the
+  batch -- exactly DTLoss's sum/count semantics (utils.py:50-75).
+- torch-SGD update: grad + wd*p -> momentum buffer -> lr step
+  (trainer.py:111), with stage freezing as a multi_transform mask instead of
+  requires_grad flags.
+- early stopping on combined val loss with patience, best-checkpoint save
+  (trainer.py:348-367) -- plus optimizer-state checkpointing and RESUME,
+  which the reference lacks (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterator, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from .anchors import anchor_boundary_mask, build_anchors
+from .config import Config
+from .data.types import DataManager, PaddedPairBatch, pack_labels
+from .encoding import (
+    anchor_encode,
+    frcnn_box_decode,
+    region_encode,
+    track_encode,
+)
+from .inference import Detector
+from .losses import DTLoss, rcnn_loss, rpn_loss, track_loss
+from .models import DetectTrackModule, resnet_trainable_mask
+from .ops.nms import batched_proposal_filter
+from .utils import image_to_input
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# the joint loss (pure, jit-able, batched)
+# ---------------------------------------------------------------------------
+
+
+def forward_losses(
+    model: DetectTrackModule,
+    params,
+    batch: PaddedPairBatch,
+    anchors: jnp.ndarray,
+    crosses_boundary: jnp.ndarray,
+    cfg: Config,
+) -> DTLoss:
+    """joint loss for a batch of frame pairs
+    (reference trainer.py:133-256, batched).
+
+    batch.images: (B, 2, H, W, 3); batch.labels.*: (B, 2, L, ...).
+    """
+    variables = {"params": params}
+    b, two, h, w, _ = batch.images.shape
+    assert two == 2
+    lbl = batch.labels
+    x = batch.images.reshape(b * 2, h, w, 3)  # frame f of pair p at 2p+f
+
+    flat = lambda a: a.reshape((b * 2,) + a.shape[2:])
+    boxes_f, classes_f = flat(lbl.boxes), flat(lbl.classes)
+    tids_f, mask_f = flat(lbl.track_ids), flat(lbl.mask)
+
+    ### backbone over all frames at once (reference batches only the pair,
+    ### trainer.py:152-153).
+    fmaps = model.apply(variables, x, method="backbone")
+
+    ### RPN losses (anchor targets encoded ON DEVICE, vs. reference's
+    ### host-side numpy at trainer.py:159-163).
+    at = jax.vmap(
+        lambda bx, cl, mk: anchor_encode(
+            anchors,
+            crosses_boundary,
+            bx,
+            cl,
+            mk,
+            cfg.ENCODER_IOU_THRESH,
+            cfg.ENCODER_IOU_MARGIN,
+        )
+    )(boxes_f, classes_f, mask_f)
+    o_hat, b_hat, fm_reg = model.apply(variables, fmaps["c4"], method="rpn")
+    o_star = (at.c_star != 0).astype(jnp.int32)  # (2B, |A|)
+    o_loss, b_loss_rpn = rpn_loss(
+        at.loss_weights, o_hat, o_star, b_hat, at.b_star, cfg.ALPHA, cfg.GAMMA
+    )
+
+    ### proposals: decode + filter on device; stop_gradient = the
+    ### approximate-joint-training cut the reference gets implicitly by
+    ### crossing through numpy (trainer.py:178-190).
+    scores = jax.lax.stop_gradient(o_hat[:, :, 1])
+    rboxes = jax.lax.stop_gradient(frcnn_box_decode(anchors[None], b_hat))
+    props = batched_proposal_filter(
+        scores,
+        rboxes,
+        cfg.PRE_NMS_TOPK,
+        cfg.TRAIN_ROI_CONF_THRESH,
+        cfg.TRAIN_NMS_IOU_THRESH,
+        cfg.MAX_ROIS,
+    )
+
+    ### RCNN losses (region targets on device; reference trainer.py:196-221).
+    rt = jax.vmap(
+        lambda r, bx, cl, mk: region_encode(
+            r, bx, cl, mk, cfg.ENCODER_IOU_THRESH, cfg.FIX_REGION_MASK_POLARITY
+        )
+    )(props.boxes, boxes_f, classes_f, mask_f)
+    c_hat, b2_hat = model.apply(
+        variables, fmaps["c5"], props.boxes, method="rcnn"
+    )
+
+    # per-pair masked mean over the pair's 2R region slots, then batch mean
+    # (matches the reference's per-instance concat + DTLoss averaging).
+    r = cfg.MAX_ROIS
+    pair = lambda a: a.reshape((b, 2 * r) + a.shape[2:])
+    c_losses, b2_losses = jax.vmap(
+        lambda ch, cs, bh, bs, v: rcnn_loss(
+            ch, cs, bh, bs, v, cfg.ALPHA, cfg.GAMMA
+        )
+    )(
+        pair(c_hat),
+        pair(rt.c_star),
+        pair(b2_hat),
+        pair(rt.b_star),
+        pair(props.valid),
+    )
+    c_loss, b_loss_rcnn = c_losses.mean(), b2_losses.mean()
+
+    ### tracker losses (track targets on device; reference trainer.py:227-246).
+    tt = jax.vmap(track_encode)(
+        lbl.boxes[:, 0],
+        lbl.classes[:, 0],
+        lbl.track_ids[:, 0],
+        lbl.mask[:, 0],
+        lbl.boxes[:, 1],
+        lbl.classes[:, 1],
+        lbl.track_ids[:, 1],
+        lbl.mask[:, 1],
+    )  # rois (B, L, 4), t_star (B, L, 4), valid (B, L)
+    pyr0 = {k: v[0::2] for k, v in fmaps.items()}
+    pyr1 = {k: v[1::2] for k, v in fmaps.items()}
+    t_hat = model.apply(
+        variables,
+        pyr0,
+        pyr1,
+        fm_reg[0::2],
+        fm_reg[1::2],
+        tt.rois,
+        method="c_tracker",
+    )  # (B, L, 4)
+    t_losses = jax.vmap(track_loss)(t_hat, tt.t_star, tt.valid)
+    t_loss = t_losses.mean()
+
+    return DTLoss.single(o_loss, b_loss_rpn, c_loss, b_loss_rcnn, t_loss)
+
+
+# ---------------------------------------------------------------------------
+# optimizer + steps
+# ---------------------------------------------------------------------------
+
+
+def make_optimizer(cfg: Config, params) -> optax.GradientTransformation:
+    """torch-SGD-equivalent chain (grad + wd*p -> momentum -> -lr), with
+    frozen backbone stages zeroed out (reference resnet.py:27-30 +
+    trainer.py:111)."""
+    kw = dict(cfg.SGD_KWARGS)
+    sgd = optax.chain(
+        optax.add_decayed_weights(kw.get("weight_decay", 0.0)),
+        optax.trace(decay=kw.get("momentum", 0.0)),
+        optax.scale(-kw["lr"]),
+    )
+    mask = resnet_trainable_mask(params, cfg.FIRST_TRAINABLE_STAGE)
+    labels = jax.tree_util.tree_map(
+        lambda t: "train" if t else "freeze", mask
+    )
+    return optax.multi_transform(
+        {"train": sgd, "freeze": optax.set_to_zero()}, labels
+    )
+
+
+def make_train_step(
+    model: DetectTrackModule, cfg: Config, tx: optax.GradientTransformation
+) -> Callable:
+    anchors = jnp.asarray(
+        build_anchors(cfg.fm_shape, cfg.ANCHOR_AREAS, cfg.ANCHOR_ASPECT_RATIOS)
+    )
+    crosses = jnp.asarray(anchor_boundary_mask(np.asarray(anchors)))
+    coefs = jnp.asarray(cfg.COEFS, jnp.float32)
+
+    def loss_fn(params, batch):
+        dtl = forward_losses(model, params, batch, anchors, crosses, cfg)
+        return dtl.to_scalar(coefs), dtl
+
+    def step(state: TrainState, batch: PaddedPairBatch):
+        (_, dtl), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            dtl,
+        )
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(model: DetectTrackModule, cfg: Config) -> Callable:
+    anchors = jnp.asarray(
+        build_anchors(cfg.fm_shape, cfg.ANCHOR_AREAS, cfg.ANCHOR_ASPECT_RATIOS)
+    )
+    crosses = jnp.asarray(anchor_boundary_mask(np.asarray(anchors)))
+
+    def step(params, batch: PaddedPairBatch):
+        return forward_losses(model, params, batch, anchors, crosses, cfg)
+
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# host-side batch loading
+# ---------------------------------------------------------------------------
+
+
+class BatchLoader:
+    """shuffled fixed-shape batches from a DataManager
+    (reference trainer.py:30-42), packing instance pairs into
+    PaddedPairBatch arrays (drop_last semantics)."""
+
+    def __init__(
+        self,
+        manager: DataManager,
+        batch_size: int,
+        cfg: Config,
+        seed: int = 0,
+        shuffle: bool = True,
+    ) -> None:
+        self.manager = manager
+        self.batch_size = batch_size
+        self.cfg = cfg
+        self.rng = np.random.RandomState(seed)
+        self.shuffle = shuffle
+
+    def _pack_pair(self, pair) -> Tuple[np.ndarray, Tuple]:
+        inst0, inst1 = pair
+        ims = []
+        frames = []
+        for inst in (inst0, inst1):
+            if isinstance(inst.im, np.ndarray):
+                ims.append(inst.im.astype(np.float32))
+            else:
+                ims.append(image_to_input(inst.im, self.cfg.INPUT_SHAPE))
+            frames.append(pack_labels(inst.labels, self.cfg.MAX_LABELS))
+        return np.stack(ims), frames
+
+    def __iter__(self) -> Iterator[PaddedPairBatch]:
+        n = len(self.manager)
+        order = self.rng.permutation(n) if self.shuffle else np.arange(n)
+        bs = self.batch_size
+        for s in range(0, n - bs + 1, bs):
+            images, labels = [], []
+            for idx in order[s : s + bs]:
+                ims, frames = self._pack_pair(self.manager[int(idx)])
+                images.append(ims)
+                labels.append(frames)
+            stack = lambda get: np.stack(
+                [np.stack([get(f0), get(f1)]) for f0, f1 in labels]
+            )
+            from .data.types import PaddedFrame
+
+            yield PaddedPairBatch(
+                images=np.stack(images),
+                labels=PaddedFrame(
+                    boxes=stack(lambda f: f.boxes),
+                    classes=stack(lambda f: f.classes),
+                    track_ids=stack(lambda f: f.track_ids),
+                    mask=stack(lambda f: f.mask),
+                ),
+            )
+
+    def __len__(self) -> int:
+        return len(self.manager) // self.batch_size
+
+
+# ---------------------------------------------------------------------------
+# trainer orchestration
+# ---------------------------------------------------------------------------
+
+
+class DetectTrackTrainer:
+    """train / validate / report / early-stop loop
+    (reference trainer.py:45-367) with orbax checkpointing and resume."""
+
+    def __init__(
+        self,
+        model: DetectTrackModule,
+        variables,
+        trn_manager: DataManager,
+        val_manager: DataManager,
+        rep_manager: Optional[DataManager],
+        cfg: Config,
+        logger: Optional[Callable[[Dict], None]] = None,
+    ) -> None:
+        self.model = model
+        self.cfg = cfg
+        params = variables["params"]
+        self.tx = make_optimizer(cfg, params)
+        self.state = TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        self._train_step = make_train_step(model, cfg, self.tx)
+        self._eval_step = make_eval_step(model, cfg)
+
+        self.trn_loader = BatchLoader(trn_manager, cfg.BATCH_SIZE, cfg, seed=0)
+        self.val_loader = BatchLoader(
+            val_manager, cfg.BATCH_SIZE, cfg, seed=1, shuffle=False
+        )
+        self.rep_manager = rep_manager
+
+        self.output_dir = Path(cfg.OUTPUT_DIR)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.logger = logger or self._default_logger
+
+        self.n_iters = 0
+        self.best_val_loss = float("inf")
+        self.iters_no_improvement = 0
+        self._coefs = jnp.asarray(cfg.COEFS, jnp.float32)
+
+    # -- logging (wandb if available, else JSONL + stdout; the reference is
+    # wandb-only, trainer.py:340-346) --
+
+    def _default_logger(self, metrics: Dict) -> None:
+        try:
+            import wandb
+
+            if wandb.run is not None:
+                wandb.log(metrics)
+                return
+        except Exception:
+            pass
+        with open(self.output_dir / "metrics.jsonl", "a") as f:
+            f.write(json.dumps({k: float(v) for k, v in metrics.items()}) + "\n")
+
+    def train(self) -> DTLoss:
+        trn_loss = DTLoss()
+        for batch in self.trn_loader:
+            self.state, dtl = self._train_step(self.state, batch)
+            trn_loss = trn_loss + jax.device_get(dtl)
+            self.n_iters += self.cfg.BATCH_SIZE
+        return trn_loss
+
+    def validate(self) -> DTLoss:
+        val_loss = DTLoss()
+        for batch in self.val_loader:
+            dtl = self._eval_step(self.state.params, batch)
+            val_loss = val_loss + jax.device_get(dtl)
+        return val_loss
+
+    def report(self, trn_loss: DTLoss, val_loss: DTLoss) -> None:
+        def avg(dtl: DTLoss, prefix: str) -> Dict[str, float]:
+            c = max(float(dtl.count), 1.0)
+            return {
+                f"{prefix}_{k}": float(v) / c for k, v in dtl.asdict().items()
+            }
+
+        metrics = {**avg(trn_loss, "trn"), **avg(val_loss, "val")}
+        metrics["step"] = int(self.state.step)
+        self.logger(metrics)
+        print(" ".join([repr(trn_loss), repr(val_loss)]))
+
+    def checkpoint(self, path: Optional[str] = None) -> None:
+        """save params + optimizer state + step (the reference saves only
+        model weights, trainer.py:358)."""
+        import orbax.checkpoint as ocp
+
+        path = Path(path or self.output_dir / "ckpt").absolute()
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            path, jax.device_get(self.state), force=True
+        )
+        ckptr.wait_until_finished()
+
+    def restore(self, path: Optional[str] = None) -> None:
+        import orbax.checkpoint as ocp
+
+        path = Path(path or self.output_dir / "ckpt").absolute()
+        ckptr = ocp.StandardCheckpointer()
+        self.state = ckptr.restore(path, self.state)
+
+    def step(self) -> None:
+        trn_loss = self.train()
+        val_loss = self.validate()
+        self.report(trn_loss, val_loss)
+
+        scalar = float(val_loss.to_scalar(self._coefs))
+        if scalar < self.best_val_loss:
+            self.best_val_loss = scalar
+            self.iters_no_improvement = 0
+            self.checkpoint()
+        else:
+            self.iters_no_improvement += 1
+
+    def run(self, max_iters: float = float("inf")) -> None:
+        while not (
+            self.iters_no_improvement > self.cfg.PATIENCE
+            or self.n_iters > max_iters
+        ):
+            self.step()

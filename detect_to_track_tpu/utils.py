@@ -1,0 +1,43 @@
+"""misc utilities (reference detect_to_track/utils.py equivalents that are
+not covered by anchors.py / losses.py)."""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Iterator, Tuple, Union
+
+import numpy as np
+
+
+def image_to_input(
+    im, net_input_shape: Union[int, Tuple[int, int]]
+) -> np.ndarray:
+    """PIL image -> (H, W, 3) float32 in [0, 1] network input.
+
+    The reference composes torchvision Resize + ToTensor
+    (reference utils.py:171-178); normalization lives in the backbone
+    (models/resnet.py), matching the reference's Normalizer placement.
+    """
+    from PIL import Image
+
+    if isinstance(net_input_shape, int):
+        net_input_shape = (net_input_shape, net_input_shape)
+    h, w = net_input_shape
+    im = im.convert("RGB").resize((w, h), Image.BILINEAR)
+    return np.asarray(im, np.float32) / 255.0
+
+
+def get_subset_lengths(dataset_length: int, subset_length: int):
+    """lengths of dataset splits (reference utils.py:181-187)."""
+    n_full = dataset_length // subset_length
+    return n_full * [subset_length] + [dataset_length % subset_length]
+
+
+@contextlib.contextmanager
+def step_timer(store: dict, key: str) -> Iterator[None]:
+    """wall-clock timing of trainer phases (the reference has no profiling
+    at all, SURVEY.md §5); pairs with jax.profiler traces in the trainer."""
+    t0 = time.perf_counter()
+    yield
+    store[key] = store.get(key, 0.0) + time.perf_counter() - t0

@@ -1,0 +1,172 @@
+"""end-to-end training tests on synthetic data (tiny shapes, CPU) -- the
+integration coverage the reference lacks entirely (SURVEY.md §4): one jitted
+joint train step must run, produce finite losses, update only trainable
+params, and decrease the loss over a few steps."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from detect_to_track_tpu.config import Config
+from detect_to_track_tpu.data.synthetic import SyntheticVIDManager
+from detect_to_track_tpu.models import DetectTrackModule
+from detect_to_track_tpu.trainer import (
+    BatchLoader,
+    DetectTrackTrainer,
+    TrainState,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+TINY = Config(
+    N_CLASSES=6,
+    BATCH_SIZE=2,
+    INPUT_SHAPE=(64, 96),
+    FM_STRIDE=16,
+    ANCHOR_AREAS=(0.02, 0.08),
+    ANCHOR_ASPECT_RATIOS=(0.5, 1.0, 2.0),
+    MAX_LABELS=8,
+    PRE_NMS_TOPK=64,
+    MAX_ROIS=16,
+    MAX_DETS=8,
+    D_MAX=2,
+    K=3,
+    COMPUTE_DTYPE="float32",
+    TRAIN_ROI_CONF_THRESH=0.1,
+    OUTPUT_DIR="/tmp/d2t_test_output",
+)
+
+
+def tiny_model(cfg: Config) -> DetectTrackModule:
+    return DetectTrackModule(
+        backbone_arch="resnet50",
+        n_anchors=cfg.n_anchors_per_cell,
+        n_classes=cfg.N_CLASSES,
+        k=cfg.K,
+        d_max=cfg.D_MAX,
+        r_hw=cfg.K,
+        corr_impl="xla",  # interpret-mode pallas is too slow inside grad
+        dtype=jnp.float32,
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = TINY
+    model = tiny_model(cfg)
+    manager = SyntheticVIDManager(
+        n_samples=4, image_hw=cfg.INPUT_SHAPE, n_classes=cfg.N_CLASSES
+    )
+    loader = BatchLoader(manager, cfg.BATCH_SIZE, cfg, seed=0)
+    batch = next(iter(loader))
+    h, w = cfg.INPUT_SHAPE
+    rois = jnp.zeros((2, cfg.MAX_ROIS, 4), jnp.float32) + 0.3
+    variables0 = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, h, w, 3), jnp.float32), rois
+    )
+    # train steps donate (and delete) their input buffers; hand every test
+    # its own copy.
+    fresh = lambda: jax.tree_util.tree_map(jnp.copy, variables0)
+    return cfg, model, fresh, loader, batch
+
+
+def test_batch_loader_shapes(setup):
+    cfg, _, _, loader, batch = setup
+    h, w = cfg.INPUT_SHAPE
+    assert batch.images.shape == (2, 2, h, w, 3)
+    assert batch.labels.boxes.shape == (2, 2, cfg.MAX_LABELS, 4)
+    assert batch.labels.mask.any()
+    assert len(loader) == 2
+
+
+def test_train_step_runs_and_loss_decreases(setup):
+    cfg, model, fresh, loader, batch = setup
+    variables = fresh()
+    params = variables["params"]
+    tx = make_optimizer(cfg, params)
+    step = make_train_step(model, cfg, tx)
+    state = TrainState(
+        params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)
+    )
+
+    losses = []
+    for i in range(4):
+        state, dtl = step(state, batch)
+        for v in (dtl.o, dtl.b_rpn, dtl.c, dtl.b_rcnn, dtl.t):
+            assert np.isfinite(float(v)), dtl
+        losses.append(float(dtl.to_scalar(jnp.asarray(cfg.COEFS))))
+    assert int(state.step) == 4
+    # same batch repeated -> total loss must go down
+    assert losses[-1] < losses[0], losses
+
+
+def test_frozen_params_do_not_move(setup):
+    cfg, model, fresh, loader, batch = setup
+    variables = fresh()
+    params = variables["params"]
+    tx = make_optimizer(cfg, params)
+    step = make_train_step(model, cfg, tx)
+    state = TrainState(
+        params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)
+    )
+    # snapshot before stepping: the step donates (deletes) its input buffers
+    bb = variables["params"]["backbone"]
+    before = {
+        "stem": np.asarray(bb["conv1"]["kernel"]),
+        "l2": np.asarray(bb["layer2_0"]["conv1"]["kernel"]),
+        "l3": np.asarray(bb["layer3_0"]["conv1"]["kernel"]),
+        "rpn": np.asarray(variables["params"]["rpn"]["conv"]["kernel"]),
+    }
+    state2, _ = step(state, batch)
+
+    bb2 = state2.params["backbone"]
+    np.testing.assert_array_equal(
+        before["stem"], np.asarray(bb2["conv1"]["kernel"])
+    )
+    np.testing.assert_array_equal(
+        before["l2"], np.asarray(bb2["layer2_0"]["conv1"]["kernel"])
+    )
+    # layer3+ and heads must move
+    assert (
+        np.abs(np.asarray(bb2["layer3_0"]["conv1"]["kernel"]) - before["l3"]).max()
+        > 0
+    )
+    rpn_after = np.asarray(state2.params["rpn"]["conv"]["kernel"])
+    assert np.abs(rpn_after - before["rpn"]).max() > 0
+
+
+def test_eval_step_matches_train_loss_at_init(setup):
+    cfg, model, fresh, loader, batch = setup
+    variables = fresh()
+    params = variables["params"]
+    eval_step = make_eval_step(model, cfg)
+    dtl = eval_step(params, batch)
+    for v in (dtl.o, dtl.b_rpn, dtl.c, dtl.b_rcnn, dtl.t):
+        assert np.isfinite(float(v))
+
+
+def test_trainer_step_and_checkpoint_roundtrip(setup, tmp_path):
+    cfg, model, fresh, loader, batch = setup
+    variables = fresh()
+    cfg = cfg.replace(OUTPUT_DIR=str(tmp_path), PATIENCE=0)
+    manager = SyntheticVIDManager(
+        n_samples=4, image_hw=cfg.INPUT_SHAPE, n_classes=cfg.N_CLASSES
+    )
+    trainer = DetectTrackTrainer(
+        model, variables, manager, manager, None, cfg
+    )
+    trainer.step()
+    assert trainer.n_iters == 4
+    assert (tmp_path / "ckpt").exists()
+    assert (tmp_path / "metrics.jsonl").exists()
+
+    # resume restores exact state
+    stepped = jax.device_get(trainer.state)
+    trainer.restore()
+    restored = jax.device_get(trainer.state)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(stepped), jax.tree_util.tree_leaves(restored)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
