@@ -43,6 +43,7 @@ def top_k_proposals(
         scores: (|A|,) objectness scores.
         boxes: (|A|, 4) decoded ijhw boxes.
     """
+    k = min(k, scores.shape[-1])
     gated = jnp.where(scores > conf_thresh, scores, -jnp.inf)
     top_scores, idx = jax.lax.top_k(gated, k)
     return Proposals(
@@ -102,13 +103,22 @@ def proposal_filter(
 
     # compact survivors to the front, preserving score order: kept entries
     # get their own index as sort key, dropped entries get +inf.
-    key = jnp.where(keep, jnp.arange(pre_nms_topk), pre_nms_topk)
+    k = keep.shape[0]  # == min(pre_nms_topk, |A|)
+    key = jnp.where(keep, jnp.arange(k), k)
     order = jnp.argsort(key)[:max_rois]
-    return Proposals(
+    out = Proposals(
         boxes=p.boxes[order],
         scores=jnp.where(keep[order], p.scores[order], 0.0),
         valid=keep[order],
     )
+    if out.boxes.shape[0] < max_rois:  # tiny-config edge: |A| < max_rois
+        pad = max_rois - out.boxes.shape[0]
+        out = Proposals(
+            boxes=jnp.pad(out.boxes, ((0, pad), (0, 0))),
+            scores=jnp.pad(out.scores, (0, pad)),
+            valid=jnp.pad(out.valid, (0, pad)),
+        )
+    return out
 
 
 def batched_proposal_filter(

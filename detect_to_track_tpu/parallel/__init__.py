@@ -1,0 +1,9 @@
+"""multi-chip scaling via jax.sharding (the reference is single-process,
+single-GPU -- SURVEY.md §2 #26; this layer is what the TPU build adds)."""
+
+from .mesh import (
+    make_mesh,
+    make_parallel_train_step,
+    replicate,
+    shard_batch,
+)

@@ -1,0 +1,68 @@
+"""device mesh + sharding rules.
+
+The reference has NO distributed path at all (single `.cuda()` device,
+reference trainer.py:82; SURVEY.md §2 #26). Here scaling is a sharding
+annotation: a 1-D `data` mesh shards the frame-pair batch axis, parameters
+and optimizer state are replicated, and XLA inserts the gradient psum over
+ICI automatically because the loss is a mean over the sharded batch axis.
+Every collective is implied by these shardings -- growing to multi-host DP
+(or adding a model axis later) is a mesh-shape change, not a rewrite.
+
+One Python process per host is assumed (jax.distributed.initialize for
+multi-host); tests exercise an 8-device virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from ..trainer import TrainState, make_train_step
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, axis_names: Sequence[str] = ("data",)
+) -> Mesh:
+    """1-D data-parallel mesh over the first n_devices devices."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:n]).reshape(n), axis_names)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """replicate a pytree (params / optimizer state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """shard every leaf's leading (batch) axis across the data axis."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.device_put(batch, sharding)
+
+
+def make_parallel_train_step(
+    model, cfg: Config, tx, mesh: Mesh, axis: str = "data"
+) -> Callable:
+    """the SPMD version of trainer.make_train_step: state replicated, batch
+    sharded over `axis`; the jitted step's gradient mean over the batch
+    lowers to an all-reduce over ICI."""
+    base = make_train_step(model, cfg, tx)  # already jitted; re-jit w/ shardings
+    rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P(axis))
+
+    def step(state: TrainState, batch):
+        return base(state, batch)
+
+    return jax.jit(
+        step,
+        in_shardings=(rep, shd),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
