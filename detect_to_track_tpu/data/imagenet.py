@@ -1,0 +1,298 @@
+"""ImageNet VID + DET dataset layer.
+
+Behavioral parity with reference detect_to_track/data/imagenet.py, including
+the author's documented deviations from the D&T paper (reference
+README.md:4-5), which are features here too:
+
+- frame-pair stride tau is sampled from a discrete Laplacian distribution
+  (clipped to the snippet) instead of a fixed stride (imagenet.py:72);
+- sampling is uniform over snippets first / classes first, instead of
+  per-class or per-video caps (imagenet.py:53-65, 189-198);
+- DET stills are mixed in with probability p_det, duplicated into a fake
+  frame pair with enumerated track ids (imagenet.py:242-265).
+
+Directory layout expected (standard ILSVRC2015):
+    DATA_ROOT/
+      Data/VID/train/<snippet_id>/000000.JPEG ...
+      Annotations/VID/train/<snippet_id>/000000.xml ...
+      Data/DET/{train,val}/..., Annotations/DET/{train,val}/...
+      ImageSets/VID/train_*.txt, ImageSets/DET/{train_<int>.txt, val.txt}
+      devkit/data/map_vid.txt
+"""
+
+from __future__ import annotations
+
+import random
+from collections import defaultdict
+from os import PathLike
+from pathlib import Path
+from typing import Dict, List, Sequence, Set, Tuple
+
+from PIL import Image
+
+from .pascal import PascalObjectLabel, parse_pascal_xmlfile
+from .sampling import partition_items, sample_bernoulli, sample_dlaplace
+from .types import (
+    DataManager,
+    DataManagerWrapper,
+    DataSampler,
+    ImageInstance,
+    ObjectLabel,
+    RawImageInstance,
+)
+
+
+class ClassTranslator:
+    """wnid -> (int id, readable name), from devkit/data/map_<task>.txt
+    (reference imagenet.py:268-318, _PascalTranslator)."""
+
+    def __init__(self, data_root: PathLike, task: str = "VID") -> None:
+        task = task.lower()
+        if task not in {"vid", "det"}:
+            raise NotImplementedError(f"no class map for task {task!r}")
+        self.id_to_int: Dict[str, int] = {}
+        self.id_to_name: Dict[str, str] = {}
+        with open(Path(data_root, "devkit", "data", f"map_{task}.txt")) as f:
+            for line in f:
+                wnid, cls_int, cls_name = line.split()
+                self.id_to_int[wnid] = int(cls_int)
+                self.id_to_name[wnid] = cls_name
+
+    def __call__(self, p: PascalObjectLabel) -> ObjectLabel:
+        return ObjectLabel(
+            class_id=self.id_to_int[p.class_id],
+            class_name=self.id_to_name[p.class_id],
+            box=p.bbox,
+            track_id=p.track_id,
+        )
+
+
+def _load_instance(ri: RawImageInstance, translator: ClassTranslator):
+    return ImageInstance(
+        im=Image.open(ri.impath),
+        labels=tuple(translator(p) for p in parse_pascal_xmlfile(ri.labelpath)),
+    )
+
+
+class VIDPairSource:
+    """lazily samples raw frame-pair paths from the VID training snippets
+    (reference imagenet.py:25-83, _VIDRawSampler).
+
+    Validates per-snippet frame/label counts at init (the reference's only
+    dataset integrity check, imagenet.py:46-51)."""
+
+    def __init__(
+        self,
+        data_root: PathLike,
+        snippet_ids: Sequence[str],
+        a: float,
+        rng: random.Random = None,
+    ) -> None:
+        self.frame_root = Path(data_root, "Data", "VID", "train")
+        self.label_root = Path(data_root, "Annotations", "VID", "train")
+        self.a = a
+        self.rng = rng or random.Random()
+
+        self._framecounts: Dict[str, int] = {}
+        for sid in snippet_ids:
+            n_frames = len(list(Path(self.frame_root, sid).glob("*.JPEG")))
+            n_labels = len(list(Path(self.label_root, sid).glob("*.xml")))
+            if n_frames != n_labels:
+                raise RuntimeError(
+                    f"snippet {sid}: {n_frames} frames but {n_labels} labels"
+                )
+            self._framecounts[sid] = n_frames
+        self._snippets = list(self._framecounts)
+
+    def sample(self) -> Tuple[RawImageInstance, RawImageInstance]:
+        """uniform snippet -> tau ~ dlaplace(a) clipped -> uniform start.
+        Sampling the snippet first maximizes diversity without per-snippet
+        frame caps (the reference's stated rationale, imagenet.py:58-65)."""
+        sid = self.rng.choice(self._snippets)
+        n = self._framecounts[sid]
+        tau = sample_dlaplace(self.a, self.rng)
+        tau = int(min(max(tau, 0), n - 1))
+        i0 = self.rng.randrange(0, n - tau)
+        return tuple(
+            RawImageInstance(
+                impath=Path(self.frame_root, sid, f"{idx:06d}.JPEG"),
+                labelpath=Path(self.label_root, sid, f"{idx:06d}.xml"),
+            )
+            for idx in (i0, i0 + tau)
+        )
+
+
+class VIDSampler(DataSampler):
+    """nondeterministic VID frame-pair sampler with lazy decode
+    (reference imagenet.py:86-116)."""
+
+    def __init__(
+        self,
+        data_root: PathLike,
+        snippet_ids: Sequence[str],
+        a: float,
+        seed: int = None,
+    ) -> None:
+        rng = random.Random(seed)
+        self._source = VIDPairSource(data_root, snippet_ids, a, rng)
+        self._translator = ClassTranslator(data_root, "VID")
+
+    def sample(self) -> Tuple[ImageInstance, ImageInstance]:
+        return tuple(
+            _load_instance(ri, self._translator)
+            for ri in self._source.sample()
+        )
+
+
+class VIDManager(DataManager):
+    """fixed sample list drawn once at init, then deterministic indexing
+    (reference imagenet.py:119-150; a = 0.5 hardcoded there too)."""
+
+    def __init__(
+        self,
+        data_root: PathLike,
+        snippet_ids: Sequence[str],
+        n_samples: int,
+        seed: int = None,
+    ) -> None:
+        source = VIDPairSource(data_root, snippet_ids, 0.5, random.Random(seed))
+        self._samples = [source.sample() for _ in range(n_samples)]
+        self._translator = ClassTranslator(data_root, "VID")
+
+    def __getitem__(self, i: int) -> Tuple[ImageInstance, ImageInstance]:
+        return tuple(
+            _load_instance(ri, self._translator) for ri in self._samples[i]
+        )
+
+    def __len__(self) -> int:
+        return len(self._samples)
+
+
+class DETSampler(DataSampler):
+    """uniform-class-first sampler over DET train+val stills; instances
+    containing classes outside VID's 30 are dropped, "extra" sets skipped
+    (reference imagenet.py:153-222)."""
+
+    def __init__(self, data_root: PathLike, seed: int = None) -> None:
+        self.rng = random.Random(seed)
+        self._translator = ClassTranslator(data_root, "VID")
+        allowed_ids: Set[str] = set(self._translator.id_to_int)
+        allowed_ints = set(self._translator.id_to_int.values())
+
+        label_root = Path(data_root, "Annotations", "DET")
+        frame_root = Path(data_root, "Data", "DET")
+        self._by_class: Dict[str, List[RawImageInstance]] = defaultdict(list)
+
+        lists = [("train", f"train_{i}") for i in sorted(allowed_ints)]
+        lists.append(("val", "val"))
+        for mode, name in lists:
+            list_path = Path(data_root, "ImageSets", "DET", f"{name}.txt")
+            if not list_path.exists():
+                continue
+            with open(list_path) as f:
+                for line in f:
+                    instance_id = line.split()[0]
+                    if "extra" in instance_id:
+                        continue
+                    labelpath = Path(label_root, mode, f"{instance_id}.xml")
+                    impath = Path(frame_root, mode, f"{instance_id}.JPEG")
+                    class_ids = {
+                        p.class_id for p in parse_pascal_xmlfile(labelpath)
+                    }
+                    if class_ids and class_ids.issubset(allowed_ids):
+                        ri = RawImageInstance(impath=impath, labelpath=labelpath)
+                        for cid in class_ids:
+                            self._by_class[cid].append(ri)
+        self._classes = sorted(self._by_class)
+
+    def sample(self) -> ImageInstance:
+        cid = self.rng.choice(self._classes)
+        ri = self.rng.choice(self._by_class[cid])
+        return _load_instance(ri, self._translator)
+
+
+class ImagenetSampler(DataSampler):
+    """Bernoulli(p_det) mixture of DET stills (duplicated into a fake pair
+    with enumerated track ids) and VID pairs (reference imagenet.py:225-265)."""
+
+    def __init__(
+        self,
+        vid_sampler: DataSampler,
+        det_sampler: DataSampler,
+        p_det: float,
+        seed: int = None,
+    ) -> None:
+        self._vid = vid_sampler
+        self._det = det_sampler
+        self.p_det = p_det
+        self.rng = random.Random(seed)
+
+    def sample(self) -> Tuple[ImageInstance, ImageInstance]:
+        if sample_bernoulli(self.p_det, self.rng):
+            inst = self._det.sample()
+            inst = ImageInstance(
+                im=inst.im,
+                labels=tuple(
+                    ObjectLabel(
+                        class_id=l.class_id,
+                        class_name=l.class_name,
+                        box=l.box,
+                        track_id=tid,  # arbitrary stable ids for the pair
+                    )
+                    for tid, l in enumerate(inst.labels)
+                ),
+            )
+            return (inst, inst)  # a still pretends to be an adjacent pair
+        return self._vid.sample()
+
+
+def find_vid_trn_snippet_ids(data_root: PathLike) -> Tuple[str, ...]:
+    """snippet ids ($BATCH_NAME/$SNIPPET_NAME) from ImageSets/VID train
+    lists, with directory existence validation (reference
+    imagenet.py:321-343)."""
+    imagesets = Path(data_root, "ImageSets", "VID")
+    frame_root = Path(data_root, "Data", "VID", "train")
+    label_root = Path(data_root, "Annotations", "VID", "train")
+
+    ids = []
+    for list_path in sorted(imagesets.glob("train_[0-9]?.txt")):
+        with open(list_path) as f:
+            for line in f:
+                sid = line.split()[0]
+                for root in (frame_root, label_root):
+                    if not Path(root, sid).is_dir():
+                        raise FileNotFoundError(f"couldn't find {Path(root, sid)}")
+                ids.append(sid)
+    return tuple(ids)
+
+
+def setup_vid_datasets(
+    data_root: PathLike,
+    vid_partition_sizes: Tuple[float, float],
+    trn_size: int,
+    val_size: int,
+    rep_size: int,
+    p_det: float,
+    a: float,
+    seed: int = None,
+) -> Tuple[DataManager, DataManager, DataManager]:
+    """assemble (train, val, report) managers over VID+DET
+    (reference imagenet.py:346-368)."""
+    snippet_ids = find_vid_trn_snippet_ids(data_root)
+    trn_snips, val_snips = partition_items(snippet_ids, vid_partition_sizes)
+
+    trn_vid = VIDSampler(data_root, trn_snips, a, seed)
+    val_manager = VIDManager(data_root, val_snips, val_size, seed)
+    rep_manager = VIDManager(data_root, trn_snips, rep_size, seed)
+
+    det = DETSampler(data_root, seed)
+    trn = ImagenetSampler(trn_vid, det, p_det, seed)
+    trn_manager = DataManagerWrapper(trn, trn_size)
+
+    return trn_manager, val_manager, rep_manager
+
+
+def make_mock_dataset(data_root: PathLike, n_samples: int) -> DataManager:
+    """small VID-only subset for quick iteration (reference
+    imagenet.py:371-376)."""
+    return VIDManager(data_root, find_vid_trn_snippet_ids(data_root), n_samples)

@@ -1,0 +1,116 @@
+"""training entry point (reference train.py equivalent):
+
+    python train.py -c cfg/default.yaml
+
+Builds the model, datasets and trainer from a flat-key YAML config and runs
+the early-stopping training loop. Supports --resume and a --synthetic smoke
+mode that needs no ILSVRC data on disk.
+"""
+
+from argparse import ArgumentParser
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    parser = ArgumentParser(__doc__)
+    parser.add_argument(
+        "-c", "--cfg", default="cfg/default.yaml", help="path to cfg file"
+    )
+    parser.add_argument(
+        "--resume", action="store_true", help="resume from OUTPUT_DIR/ckpt"
+    )
+    parser.add_argument(
+        "--synthetic",
+        action="store_true",
+        help="train on the synthetic dataset (smoke runs without ILSVRC)",
+    )
+    parser.add_argument(
+        "--torch-weights",
+        default=None,
+        help="path to a torchvision ResNet state_dict (.pt) for the backbone",
+    )
+    parser.add_argument("--max-iters", type=float, default=float("inf"))
+    args = parser.parse_args()
+
+    from detect_to_track_tpu.config import load_config
+    from detect_to_track_tpu.models import DetectTrackModule
+    from detect_to_track_tpu.trainer import DetectTrackTrainer
+
+    cfg = load_config(args.cfg)
+
+    try:  # config-logged wandb run when wandb is importable + configured
+        import wandb
+
+        wandb.init(config=cfg.__dict__)
+    except Exception:
+        pass
+
+    dtype = jnp.bfloat16 if cfg.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    model = DetectTrackModule(
+        backbone_arch=cfg.BACKBONE_ARCH,
+        n_anchors=cfg.n_anchors_per_cell,
+        n_classes=cfg.N_CLASSES,
+        k=cfg.K,
+        d_max=cfg.D_MAX,
+        r_hw=cfg.K,
+        paper_channel_layout=cfg.FIX_PSROI_CHANNEL_MAP,
+        dtype=dtype,
+    )
+
+    if args.synthetic:
+        from detect_to_track_tpu.data.synthetic import SyntheticVIDManager
+
+        trn_manager = SyntheticVIDManager(
+            n_samples=cfg.TRN_SIZE, image_hw=cfg.INPUT_SHAPE,
+            n_classes=cfg.N_CLASSES, seed=0,
+        )
+        val_manager = SyntheticVIDManager(
+            n_samples=cfg.VAL_SIZE, image_hw=cfg.INPUT_SHAPE,
+            n_classes=cfg.N_CLASSES, seed=1,
+        )
+        rep_manager = SyntheticVIDManager(
+            n_samples=cfg.REP_SIZE, image_hw=cfg.INPUT_SHAPE,
+            n_classes=cfg.N_CLASSES, seed=2,
+        )
+    else:
+        from detect_to_track_tpu.data.imagenet import setup_vid_datasets
+
+        trn_manager, val_manager, rep_manager = setup_vid_datasets(
+            cfg.DATA_ROOT,
+            cfg.VID_PARTITION_SIZES,
+            cfg.TRN_SIZE,
+            cfg.VAL_SIZE,
+            cfg.REP_SIZE,
+            cfg.P_DET,
+            cfg.A,
+        )
+
+    h, w = cfg.INPUT_SHAPE
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, h, w, 3), jnp.float32),
+        jnp.full((2, cfg.MAX_ROIS, 4), 0.4, jnp.float32),
+    )
+    if args.torch_weights:
+        import torch
+
+        from detect_to_track_tpu.models.resnet import convert_torch_state_dict
+
+        sd = torch.load(args.torch_weights, map_location="cpu")
+        sd = {k: v.numpy() for k, v in sd.items()}
+        variables["params"]["backbone"] = convert_torch_state_dict(
+            sd, cfg.BACKBONE_ARCH
+        )
+
+    trainer = DetectTrackTrainer(
+        model, variables, trn_manager, val_manager, rep_manager, cfg
+    )
+    if args.resume:
+        trainer.restore()
+    trainer.run(max_iters=args.max_iters)
+
+
+if __name__ == "__main__":
+    main()
