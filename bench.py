@@ -1,0 +1,149 @@
+"""benchmark harness.
+
+Measures ImageNet VID frame-pairs/sec/chip for the FULL jitted joint
+training step (backbone fwd+bwd, RPN + anchor encoding, on-device NMS,
+R-FCN, Pallas correlation tracker, SGD update) at the reference working
+point: 608x1200 input, resnet50, 42,750 anchors, d_max=8, k=7, batch=4
+frame pairs (reference cfg/default.yaml). Data is synthetic (generated on
+host once); the metric is pure device throughput.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is the
+ratio against the prior recorded round (BENCH_r*.json) when present, else
+1.0. Secondary numbers (correlation kernel time, inference pairs/sec) are
+included as extra keys.
+"""
+
+import glob
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from detect_to_track_tpu.config import Config
+    from detect_to_track_tpu.data.synthetic import SyntheticVIDManager
+    from detect_to_track_tpu.models import DetectTrackModule
+    from detect_to_track_tpu.trainer import (
+        BatchLoader,
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = Config()  # reference working point + TPU static-shape defaults
+    dtype = jnp.bfloat16 if cfg.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    model = DetectTrackModule(
+        backbone_arch=cfg.BACKBONE_ARCH,
+        n_anchors=cfg.n_anchors_per_cell,
+        n_classes=cfg.N_CLASSES,
+        k=cfg.K,
+        d_max=cfg.D_MAX,
+        r_hw=cfg.K,
+        dtype=dtype,
+    )
+
+    manager = SyntheticVIDManager(
+        n_samples=cfg.BATCH_SIZE, image_hw=cfg.INPUT_SHAPE,
+        n_classes=cfg.N_CLASSES,
+    )
+    batch = next(iter(BatchLoader(manager, cfg.BATCH_SIZE, cfg, seed=0)))
+    batch = jax.device_put(batch)
+
+    h, w = cfg.INPUT_SHAPE
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, h, w, 3), jnp.float32),
+        jnp.full((2, cfg.MAX_ROIS, 4), 0.4, jnp.float32),
+    )
+    # the train step donates its state; keep `variables` alive for the
+    # inference benchmark below by training on a copy.
+    params = jax.tree_util.tree_map(jnp.copy, variables["params"])
+    tx = make_optimizer(cfg, params)
+    step = make_train_step(model, cfg, tx)
+    state = TrainState(
+        params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)
+    )
+
+    # warmup / compile
+    state, dtl = step(state, batch)
+    jax.block_until_ready(state.params)
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, dtl = step(state, batch)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    pairs_per_sec = cfg.BATCH_SIZE * n_steps / dt
+
+    # secondary: correlation kernel forward time at the c4 working shape
+    from detect_to_track_tpu.ops import pointwise_correlation
+
+    fm = jax.device_put(
+        np.random.RandomState(0)
+        .rand(2, cfg.fm_shape[0], cfg.fm_shape[1], 512)
+        .astype(np.float32)
+    )
+    corr = jax.jit(lambda a, b: pointwise_correlation(a, b, cfg.D_MAX, 1))
+    corr(fm, fm).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(50):
+        out = corr(fm, fm)
+    out.block_until_ready()
+    corr_ms = (time.perf_counter() - t0) / 50 * 1e3
+
+    # secondary: full inference pairs/sec
+    from detect_to_track_tpu.anchors import build_anchors
+    from detect_to_track_tpu.inference import detect_pair
+    import functools
+
+    anchors = jnp.asarray(
+        build_anchors(cfg.fm_shape, cfg.ANCHOR_AREAS, cfg.ANCHOR_ASPECT_RATIOS)
+    )
+    images = jax.device_put(batch.images[0])
+    infer = jax.jit(functools.partial(detect_pair, model, cfg=cfg))
+    out = infer(variables, images, anchors)
+    jax.block_until_ready(out.boxes)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        out = infer(variables, images, anchors)
+    jax.block_until_ready(out.boxes)
+    infer_pairs_per_sec = 20 / (time.perf_counter() - t0)
+
+    # baseline ratio: previous recorded round, if any
+    prev = None
+    for path in sorted(glob.glob("BENCH_r*.json")):
+        try:
+            rec = json.load(open(path))
+            if rec.get("metric", "").startswith("train"):
+                prev = rec.get("value")
+        except Exception:
+            pass
+    vs = pairs_per_sec / prev if prev else 1.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_frame_pairs_per_sec_per_chip",
+                "value": round(pairs_per_sec, 3),
+                "unit": "pairs/s",
+                "vs_baseline": round(vs, 3),
+                "inference_pairs_per_sec": round(infer_pairs_per_sec, 3),
+                "correlation_fwd_ms_c4": round(corr_ms, 4),
+                "device": str(jax.devices()[0]),
+                "config": "608x1200 resnet50 b4 bf16 d_max=8 k=7",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""inference tests: on-device NMS vs host filter-pipeline parity, Detector
+API contract, full-clip tracking on synthetic data."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from detect_to_track_tpu.config import Config
+from detect_to_track_tpu.filtering import (
+    ConfidenceFilter,
+    MaxDetFilter,
+    NMSFilter,
+    PredictionFilterPipeline,
+)
+from detect_to_track_tpu.ops.nms import proposal_filter
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_device_nms_matches_host_pipeline(seed):
+    """the on-device gate->topk->NMS pipeline must keep exactly the boxes
+    the host ConfidenceFilter->MaxDetFilter->NMSFilter pipeline keeps
+    (reference trainer.py:98-102 semantics), up to the static post-NMS cap."""
+    rng = np.random.RandomState(seed)
+    n = 200
+    scores = rng.rand(n).astype(np.float32)
+    boxes = np.stack(
+        [
+            rng.rand(n) * 0.8 + 0.1,
+            rng.rand(n) * 0.8 + 0.1,
+            rng.rand(n) * 0.3 + 0.05,
+            rng.rand(n) * 0.3 + 0.05,
+        ],
+        axis=1,
+    ).astype(np.float32)
+
+    conf_t, iou_t, max_rois = 0.3, 0.5, 64
+    host = PredictionFilterPipeline(
+        ConfidenceFilter(conf_t), MaxDetFilter(3000), NMSFilter(iou_t)
+    )
+    h_scores, h_boxes = host(scores, boxes)
+
+    dev = proposal_filter(
+        jnp.asarray(scores), jnp.asarray(boxes), n, conf_t, iou_t, max_rois
+    )
+    d_boxes = np.asarray(dev.boxes)[np.asarray(dev.valid)]
+    d_scores = np.asarray(dev.scores)[np.asarray(dev.valid)]
+
+    k = min(len(h_boxes), max_rois)
+    np.testing.assert_allclose(d_scores, h_scores[:k], rtol=1e-6)
+    np.testing.assert_allclose(d_boxes, h_boxes[:k], rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def detector():
+    from detect_to_track_tpu.inference import Detector
+    from detect_to_track_tpu.models import DetectTrackModule
+
+    cfg = Config(
+        N_CLASSES=6,
+        INPUT_SHAPE=(64, 96),
+        ANCHOR_AREAS=(0.02, 0.08),
+        ANCHOR_ASPECT_RATIOS=(0.5, 1.0, 2.0),
+        MAX_LABELS=8,
+        PRE_NMS_TOPK=64,
+        MAX_ROIS=16,
+        MAX_DETS=8,
+        D_MAX=2,
+        K=3,
+        COMPUTE_DTYPE="float32",
+        EVAL_ROI_CONF_THRESH=0.2,
+        EVAL_RCNN_CONF_THRESH=0.0,  # untrained net: keep everything valid
+    )
+    model = DetectTrackModule(
+        backbone_arch="resnet50",
+        n_anchors=cfg.n_anchors_per_cell,
+        n_classes=cfg.N_CLASSES,
+        k=cfg.K,
+        d_max=cfg.D_MAX,
+        r_hw=cfg.K,
+        corr_impl="xla",
+        dtype=jnp.float32,
+    )
+    h, w = cfg.INPUT_SHAPE
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, h, w, 3), jnp.float32),
+        jnp.full((2, cfg.MAX_ROIS, 4), 0.4, jnp.float32),
+    )
+    return Detector(model, variables, cfg), cfg
+
+
+def test_detector_api_contract(detector, rng):
+    """__call__(im0, im1) -> (confs0, confs1, bboxes0, bboxes1, tracks) with
+    the reference's shape relationships (reference inference.py:54-68):
+    tracks align with frame-0 detections."""
+    det, cfg = detector
+    h, w = cfg.INPUT_SHAPE
+    im0 = rng.rand(h, w, 3).astype(np.float32)
+    im1 = rng.rand(h, w, 3).astype(np.float32)
+    confs0, confs1, boxes0, boxes1, tracks = det(im0, im1)
+
+    assert confs0.shape[1] == cfg.N_CLASSES + 1
+    assert confs0.shape[0] == boxes0.shape[0] == tracks.shape[0]
+    assert confs1.shape[0] == boxes1.shape[0]
+    assert boxes0.shape[1] == 4 and tracks.shape[1] == 4
+    assert confs0.shape[0] <= cfg.MAX_DETS
+    assert np.isfinite(tracks).all()
+
+
+def test_detector_accepts_pil(detector, rng):
+    from PIL import Image
+
+    det, cfg = detector
+    im = Image.fromarray((rng.rand(50, 70, 3) * 255).astype(np.uint8))
+    out = det(im, im)
+    assert len(out) == 5
+
+
+def test_clip_tracker_runs(detector, rng):
+    from detect_to_track_tpu.clip import ClipTracker
+
+    det, cfg = detector
+    h, w = cfg.INPUT_SHAPE
+    frames = [rng.rand(h, w, 3).astype(np.float32) for _ in range(4)]
+    tracker = ClipTracker(det, link_iou_thresh=0.5, min_len=1)
+    tubelets = tracker(frames)
+    for (start, end), boxes in tubelets:
+        assert 0 <= start <= end <= 3
+        assert boxes.shape == (end - start + 1, 4)
