@@ -103,6 +103,9 @@ class Config:
     OUTPUT_DIR: str = "output"
     LOG_EVERY: int = 10
     CHECKPOINT_KEEP: int = 3
+    # when set, the trainer wraps each training epoch in a jax.profiler
+    # trace written to this directory (perfetto-compatible).
+    PROFILE_DIR: str = ""
 
     @property
     def n_anchors_per_cell(self) -> int:

@@ -309,6 +309,32 @@ class BatchLoader:
         return len(self.manager) // self.batch_size
 
 
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """host-side prefetch: a background thread keeps `depth` packed batches
+    ready while the device trains (the reference decodes synchronously on
+    the training thread, reference trainer.py:39-42)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
+
+
 # ---------------------------------------------------------------------------
 # trainer orchestration
 # ---------------------------------------------------------------------------
@@ -367,23 +393,83 @@ class DetectTrackTrainer:
                 return
         except Exception:
             pass
+        scalars = {
+            k: float(v)
+            for k, v in metrics.items()
+            if isinstance(v, (int, float)) or hasattr(v, "__float__")
+        }
         with open(self.output_dir / "metrics.jsonl", "a") as f:
-            f.write(json.dumps({k: float(v) for k, v in metrics.items()}) + "\n")
+            f.write(json.dumps(scalars) + "\n")
 
     def train(self) -> DTLoss:
         trn_loss = DTLoss()
-        for batch in self.trn_loader:
-            self.state, dtl = self._train_step(self.state, batch)
-            trn_loss = trn_loss + jax.device_get(dtl)
-            self.n_iters += self.cfg.BATCH_SIZE
+        trace_ctx = None
+        if self.cfg.PROFILE_DIR:
+            # jax.profiler trace of the first training epoch section (the
+            # reference has zero profiling, SURVEY.md §5).
+            trace_ctx = jax.profiler.trace(self.cfg.PROFILE_DIR)
+            trace_ctx.__enter__()
+        try:
+            for batch in prefetch(iter(self.trn_loader)):
+                self.state, dtl = self._train_step(self.state, batch)
+                trn_loss = trn_loss + jax.device_get(dtl)
+                self.n_iters += self.cfg.BATCH_SIZE
+        finally:
+            if trace_ctx is not None:
+                trace_ctx.__exit__(None, None, None)
         return trn_loss
 
     def validate(self) -> DTLoss:
         val_loss = DTLoss()
-        for batch in self.val_loader:
+        for batch in prefetch(iter(self.val_loader)):
             dtl = self._eval_step(self.state.params, batch)
             val_loss = val_loss + jax.device_get(dtl)
         return val_loss
+
+    def _report_images(self) -> Dict[str, object]:
+        """detection overlays on the fixed report set
+        (reference trainer.py:324-340): run the Detector on each report
+        pair, draw boxes + top-3 class confidences, save side-by-side."""
+        if self.rep_manager is None:
+            return {}
+        from PIL import Image
+
+        from .inference import Detector
+        from .vis import draw_detections
+
+        detector = Detector(
+            self.model, {"params": self.state.params}, self.cfg
+        )
+        rep_dir = self.output_dir / "report"
+        rep_dir.mkdir(exist_ok=True)
+        images = {}
+        for n in range(len(self.rep_manager)):
+            i0, i1 = self.rep_manager[n]
+            confs0, confs1, boxes0, boxes1, _tracks = detector(i0.im, i1.im)
+
+            def labelled(im, confs, boxes, top_n=3):
+                if isinstance(im, np.ndarray):
+                    im = Image.fromarray((im * 255).astype(np.uint8))
+                else:
+                    im = im.copy()
+                labels = [
+                    " ".join(
+                        f"{c}:{conf[c]:.2f}"
+                        for c in np.argsort(-conf)[:top_n]
+                    )
+                    for conf in confs
+                ]
+                return draw_detections(im, boxes, labels)
+
+            im0 = labelled(i0.im, confs0, boxes0)
+            im1 = labelled(i1.im, confs1, boxes1)
+            cat = Image.fromarray(
+                np.concatenate([np.array(im0), np.array(im1)], axis=1)
+            )
+            path = rep_dir / f"pair_{n}.png"
+            cat.save(path)
+            images[f"pair_{n}"] = cat
+        return images
 
     def report(self, trn_loss: DTLoss, val_loss: DTLoss) -> None:
         def avg(dtl: DTLoss, prefix: str) -> Dict[str, float]:
@@ -394,6 +480,18 @@ class DetectTrackTrainer:
 
         metrics = {**avg(trn_loss, "trn"), **avg(val_loss, "val")}
         metrics["step"] = int(self.state.step)
+
+        images = self._report_images()
+        try:
+            import wandb
+
+            if wandb.run is not None and images:
+                metrics = dict(metrics)
+                for k, im in images.items():
+                    metrics[k] = wandb.Image(im)
+        except Exception:
+            pass
+
         self.logger(metrics)
         print(" ".join([repr(trn_loss), repr(val_loss)]))
 
