@@ -1,0 +1,111 @@
+"""detection evaluation: PASCAL-VOC-style mean average precision.
+
+The reference computes NO evaluation metric anywhere -- model selection is
+by validation loss only (SURVEY.md §5; reference trainer.py:354-360). This
+module adds the standard VID/VOC detection mAP so checkpoints can be
+compared on the metric the D&T paper reports.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from .boxes import compute_ious_np
+
+
+def average_precision(recall: np.ndarray, precision: np.ndarray) -> float:
+    """all-points interpolated AP (VOC2010+ convention)."""
+    r = np.concatenate([[0.0], recall, [1.0]])
+    p = np.concatenate([[0.0], precision, [0.0]])
+    # precision envelope
+    for i in range(len(p) - 2, -1, -1):
+        p[i] = max(p[i], p[i + 1])
+    idx = np.where(r[1:] != r[:-1])[0]
+    return float(np.sum((r[idx + 1] - r[idx]) * p[idx + 1]))
+
+
+def detection_map(
+    det_confs: Sequence[np.ndarray],  # per image: (D_i, C+1) class confs
+    det_boxes: Sequence[np.ndarray],  # per image: (D_i, 4) ijhw
+    gt_classes: Sequence[np.ndarray],  # per image: (G_i,) 1-based ids
+    gt_boxes: Sequence[np.ndarray],  # per image: (G_i, 4) ijhw
+    n_classes: int,
+    iou_thresh: float = 0.5,
+) -> Dict[str, float]:
+    """mAP over 1-based classes 1..n_classes.
+
+    Detections are scored per class by their softmax confidence; matching is
+    greedy by descending score with one-to-one gt assignment at
+    IoU > iou_thresh.
+    """
+    aps = {}
+    for c in range(1, n_classes + 1):
+        # gather detections of class c across all images
+        records = []  # (score, image_idx, box)
+        n_gt = 0
+        for i, (confs, boxes) in enumerate(zip(det_confs, det_boxes)):
+            if len(confs):
+                for score, box in zip(confs[:, c], boxes):
+                    records.append((float(score), i, box))
+            n_gt += int((gt_classes[i] == c).sum())
+        if n_gt == 0:
+            continue
+        records.sort(key=lambda r: -r[0])
+
+        matched = {
+            i: np.zeros(int((gt_classes[i] == c).sum()), bool)
+            for i in range(len(gt_classes))
+        }
+        tp = np.zeros(len(records))
+        fp = np.zeros(len(records))
+        for n, (score, i, box) in enumerate(records):
+            gtb = gt_boxes[i][gt_classes[i] == c]
+            if len(gtb) == 0:
+                fp[n] = 1
+                continue
+            ious = compute_ious_np(box.reshape(1, 4), gtb)[0]
+            j = int(np.argmax(ious))
+            if ious[j] > iou_thresh and not matched[i][j]:
+                matched[i][j] = True
+                tp[n] = 1
+            else:
+                fp[n] = 1
+        cum_tp = np.cumsum(tp)
+        cum_fp = np.cumsum(fp)
+        recall = cum_tp / n_gt
+        precision = cum_tp / np.maximum(cum_tp + cum_fp, 1e-12)
+        aps[c] = average_precision(recall, precision)
+
+    m = float(np.mean(list(aps.values()))) if aps else 0.0
+    out = {"mAP": m}
+    out.update({f"AP_{c}": v for c, v in aps.items()})
+    return out
+
+
+def evaluate_detector(
+    detector, manager, n_classes: int, iou_thresh: float = 0.5
+) -> Dict[str, float]:
+    """run a Detector over a DataManager of frame pairs and compute mAP on
+    every frame (both frames of each pair are evaluated)."""
+    det_confs: List[np.ndarray] = []
+    det_boxes: List[np.ndarray] = []
+    gt_classes: List[np.ndarray] = []
+    gt_boxes: List[np.ndarray] = []
+
+    for n in range(len(manager)):
+        i0, i1 = manager[n]
+        confs0, confs1, boxes0, boxes1, _ = detector(i0.im, i1.im)
+        for inst, confs, boxes in ((i0, confs0, boxes0), (i1, confs1, boxes1)):
+            det_confs.append(confs)
+            det_boxes.append(boxes)
+            gt_classes.append(
+                np.array([l.class_id for l in inst.labels], np.int32)
+            )
+            gt_boxes.append(
+                np.array([l.box for l in inst.labels], np.float32).reshape(-1, 4)
+            )
+    return detection_map(
+        det_confs, det_boxes, gt_classes, gt_boxes, n_classes, iou_thresh
+    )
