@@ -33,6 +33,7 @@ class DetectTrackModule(nn.Module):
     """Args mirror reference detect_track.py:41-55 (plus TPU knobs)."""
 
     backbone_arch: str = "resnet50"
+    first_trainable_stage: int = 0  # 0 = no backward pruning
     n_anchors: int = 15
     n_classes: int = 30
     k: int = 7
@@ -51,7 +52,10 @@ class DetectTrackModule(nn.Module):
 
     def setup(self):
         self.backbone_mod = ResNetBackbone(
-            arch=self.backbone_arch, dtype=self.dtype, name="backbone"
+            arch=self.backbone_arch,
+            dtype=self.dtype,
+            first_trainable_stage=self.first_trainable_stage,
+            name="backbone",
         )
         self.rpn_mod = RPN(
             n_anchors=self.n_anchors,

@@ -131,6 +131,13 @@ class ResNetBackbone(nn.Module):
     arch: str = "resnet50"
     dtype: Any = jnp.float32
     normalize_input: bool = True
+    # gradient pruning at the freeze boundary: with first_trainable_stage=N,
+    # a stop_gradient is inserted before layer{N}, replicating what torch
+    # autograd does for requires_grad=False stages (reference resnet.py:27-30
+    # freezes them; torch then never backprops through them at all). 0
+    # disables the cut (gradients flow everywhere; the optimizer mask alone
+    # enforces freezing -- same updates either way, more backward compute).
+    first_trainable_stage: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -166,6 +173,9 @@ class ResNetBackbone(nn.Module):
         for li, ((planes, stride, dilation), n_blocks) in enumerate(
             zip(layer_cfg, blocks), start=1
         ):
+            if li == self.first_trainable_stage:
+                # freeze boundary: everything below never receives gradients
+                x = jax.lax.stop_gradient(x)
             for bi in range(n_blocks):
                 x = Bottleneck(
                     planes=planes,

@@ -50,6 +50,7 @@ def main() -> None:
     dtype = jnp.bfloat16 if cfg.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     model = DetectTrackModule(
         backbone_arch=cfg.BACKBONE_ARCH,
+        first_trainable_stage=cfg.FIRST_TRAINABLE_STAGE,
         n_anchors=cfg.n_anchors_per_cell,
         n_classes=cfg.N_CLASSES,
         k=cfg.K,
