@@ -94,6 +94,12 @@ class Config:
 
     # compute precision: "float32" or "bfloat16" for backbone/head matmuls.
     COMPUTE_DTYPE: str = "bfloat16"
+    # rematerialize backbone blocks in backward (memory for FLOPs).
+    REMAT: bool = False
+    # failure detection: what to do when a training step yields a non-finite
+    # loss ("warn" | "raise" | "skip"). The reference would train on NaNs
+    # silently (no checks anywhere, SURVEY.md §5).
+    NAN_POLICY: str = "warn"
 
     # parallelism: data-parallel mesh size (1 = single chip).
     NUM_DEVICES: int = 1

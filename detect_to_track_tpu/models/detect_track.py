@@ -34,6 +34,7 @@ class DetectTrackModule(nn.Module):
 
     backbone_arch: str = "resnet50"
     first_trainable_stage: int = 0  # 0 = no backward pruning
+    remat: bool = False
     n_anchors: int = 15
     n_classes: int = 30
     k: int = 7
@@ -55,6 +56,7 @@ class DetectTrackModule(nn.Module):
             arch=self.backbone_arch,
             dtype=self.dtype,
             first_trainable_stage=self.first_trainable_stage,
+            remat=self.remat,
             name="backbone",
         )
         self.rpn_mod = RPN(

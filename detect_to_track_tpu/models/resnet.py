@@ -138,6 +138,9 @@ class ResNetBackbone(nn.Module):
     # disables the cut (gradients flow everywhere; the optimizer mask alone
     # enforces freezing -- same updates either way, more backward compute).
     first_trainable_stage: int = 0
+    # rematerialize bottleneck blocks in the backward pass (trade FLOPs for
+    # activation memory; enables bigger per-chip batches at 608x1200).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -176,8 +179,9 @@ class ResNetBackbone(nn.Module):
             if li == self.first_trainable_stage:
                 # freeze boundary: everything below never receives gradients
                 x = jax.lax.stop_gradient(x)
+            block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
             for bi in range(n_blocks):
-                x = Bottleneck(
+                x = block_cls(
                     planes=planes,
                     strides=stride if bi == 0 else 1,
                     dilation=dilation,

@@ -412,12 +412,25 @@ class DetectTrackTrainer:
         try:
             for batch in prefetch(iter(self.trn_loader)):
                 self.state, dtl = self._train_step(self.state, batch)
-                trn_loss = trn_loss + jax.device_get(dtl)
+                dtl = jax.device_get(dtl)
+                self._check_finite(dtl)
+                trn_loss = trn_loss + dtl
                 self.n_iters += self.cfg.BATCH_SIZE
         finally:
             if trace_ctx is not None:
                 trace_ctx.__exit__(None, None, None)
         return trn_loss
+
+    def _check_finite(self, dtl: DTLoss) -> None:
+        """failure detection (the reference has none, SURVEY.md §5): act on
+        non-finite losses per cfg.NAN_POLICY."""
+        vals = [float(v) for v in (dtl.o, dtl.b_rpn, dtl.c, dtl.b_rcnn, dtl.t)]
+        if all(np.isfinite(v) for v in vals):
+            return
+        msg = f"non-finite loss at iter {self.n_iters}: {dtl!r}"
+        if self.cfg.NAN_POLICY == "raise":
+            raise FloatingPointError(msg)
+        print(f"WARNING: {msg}")
 
     def validate(self) -> DTLoss:
         val_loss = DTLoss()

@@ -51,6 +51,7 @@ def main() -> None:
     model = DetectTrackModule(
         backbone_arch=cfg.BACKBONE_ARCH,
         first_trainable_stage=cfg.FIRST_TRAINABLE_STAGE,
+        remat=cfg.REMAT,
         n_anchors=cfg.n_anchors_per_cell,
         n_classes=cfg.N_CLASSES,
         k=cfg.K,
