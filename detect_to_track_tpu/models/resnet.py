@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
