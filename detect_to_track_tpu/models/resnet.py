@@ -192,12 +192,15 @@ class ResNetBackbone(nn.Module):
                     dtype=self.dtype,
                     name=f"layer{li}_{bi}",
                 )(x)
-            if li == 2:
-                feats["c3"] = x
-            elif li == 3:
-                feats["c4"] = x
-            elif li == 4:
-                feats["c5"] = x
+            if li >= 2:
+                out = x
+                if 0 < self.first_trainable_stage and li < self.first_trainable_stage:
+                    # a pyramid level produced entirely by frozen stages:
+                    # consumers (e.g. the tracker's c3 correlation) cannot
+                    # influence any trainable param through it, so torch
+                    # never backprops there -- neither do we.
+                    out = jax.lax.stop_gradient(out)
+                feats[f"c{li + 1}"] = out
         return feats
 
 
