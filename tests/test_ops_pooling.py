@@ -86,10 +86,11 @@ def test_roi_pool_ref_matches_cuda_semantics(r_hw, fm_hw, rng):
 
 
 @pytest.mark.parametrize("r_hw", [5, 7])
-def test_roi_pool_sat_matches_ref(r_hw, rng):
+@pytest.mark.parametrize("impl", ["einsum", "sat"])
+def test_roi_pool_fast_matches_ref(r_hw, impl, rng):
     fm = rng.rand(13, 17, 8).astype(np.float32)
     ref = np.asarray(roi_pool_ref(fm, ROIS, r_hw))
-    fast = np.asarray(roi_pool(fm, ROIS, r_hw))
+    fast = np.asarray(roi_pool(fm, ROIS, r_hw, impl))
     np.testing.assert_allclose(fast, ref, rtol=1e-4, atol=1e-5)
 
 
@@ -107,10 +108,11 @@ def test_ps_roi_pool_ref_matches_cuda_semantics(n_targets, r_hw, fm_hw, paper, r
 
 @pytest.mark.parametrize("n_targets", [1, 3])
 @pytest.mark.parametrize("r_hw", [7])
-def test_ps_roi_pool_sat_matches_ref(n_targets, r_hw, rng):
+@pytest.mark.parametrize("impl", ["einsum", "sat"])
+def test_ps_roi_pool_fast_matches_ref(n_targets, r_hw, impl, rng):
     fm = rng.rand(12, 19, n_targets * r_hw**2).astype(np.float32)
     ref = np.asarray(ps_roi_pool_ref(fm, ROIS, n_targets, r_hw))
-    fast = np.asarray(ps_roi_pool(fm, ROIS, n_targets, r_hw))
+    fast = np.asarray(ps_roi_pool(fm, ROIS, n_targets, r_hw, False, impl))
     np.testing.assert_allclose(fast, ref, rtol=1e-4, atol=1e-5)
 
 
