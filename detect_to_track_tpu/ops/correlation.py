@@ -224,10 +224,20 @@ def _bwd_fm1_kernel(
         f_halo,
         sems.at[1],
     )
-    cp_g.start()
+    # the gradient halo is channel-independent: fetch it only on the first
+    # channel block (scratch persists across the sequential grid steps of
+    # the innermost channel dimension).
+    @pl.when(ci == 0)
+    def _():
+        cp_g.start()
+
     cp_f.start()
     out_ref[...] = jnp.zeros_like(out_ref)
-    cp_g.wait()
+
+    @pl.when(ci == 0)
+    def _():
+        cp_g.wait()
+
     cp_f.wait()
 
     h0 = hi * th
