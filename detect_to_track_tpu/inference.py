@@ -108,6 +108,27 @@ def detect_pair(
     return PairDetections(confs=confs, boxes=boxes, valid=valid, tracks=tracks)
 
 
+def detect_pairs_batched(
+    model: DetectTrackModule,
+    variables,
+    images: jnp.ndarray,
+    anchors: jnp.ndarray,
+    cfg: Config,
+) -> PairDetections:
+    """vmapped detect_pair over a batch of frame pairs.
+
+    Args:
+        images: (P, 2, H, W, 3) -- P independent frame pairs.
+
+    Returns PairDetections with a leading P axis on every field. This is the
+    full-clip throughput path (the reference can only process one pair at a
+    time, inference.py:54).
+    """
+    return jax.vmap(
+        lambda ims: detect_pair(model, variables, ims, anchors, cfg)
+    )(images)
+
+
 class Detector:
     """host-facing detector with the reference's API
     (reference inference.py:21-121): __call__(im0, im1) ->
@@ -128,6 +149,17 @@ class Detector:
         )
         self._fwd = jax.jit(
             functools.partial(detect_pair, model, cfg=cfg)
+        )
+        self._fwd_batched = jax.jit(
+            functools.partial(detect_pairs_batched, model, cfg=cfg)
+        )
+
+    def detect_pairs(self, pairs) -> PairDetections:
+        """batched raw API: pairs is (P, 2, H, W, 3) numpy/PIL-free input;
+        returns padded PairDetections with leading P axis (host trimming is
+        the caller's job -- see ClipTracker)."""
+        return self._fwd_batched(
+            self.variables, jnp.asarray(pairs), self.anchors
         )
 
     def _to_array(self, im) -> np.ndarray:
