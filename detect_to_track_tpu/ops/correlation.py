@@ -209,8 +209,12 @@ def _bwd_fm1_kernel(
     k = 2 * d_max + 1
     th = tile_h
 
+    # the g halo's row count lands on a TILED dim of the 3D scratch
+    # (k^2, rows, w128), so the DMA slice size must be a sublane multiple --
+    # with d_max=8 (th+2d = 24) that held by luck; align explicitly.
+    th2d8 = _round_up(th + 2 * d_max, 8)
     cp_g = pltpu.make_async_copy(
-        g_ref.at[b, slice(None), pl.ds(hi * th, th + 2 * d_max), slice(None)],
+        g_ref.at[b, slice(None), pl.ds(hi * th, th2d8), slice(None)],
         g_halo,
         sems.at[0],
     )
@@ -286,7 +290,9 @@ def _col_mask_shift(size: int, dj: int, d_max: int, stride: int):
 def _plan(b, h, w, c, d_max):
     tile_h = min(8, _round_up(h, 4))
     hp = _round_up(h, tile_h)
-    c_blk = min(c, 256)
+    # channel blocks must be lane-aligned for the halo DMAs (and small
+    # channel counts are padded up to one lane tile).
+    c_blk = min(_round_up(c, 128), 256)
     cp = _round_up(c, c_blk)
     grid = (b, hp // tile_h, cp // c_blk)
     # manual-DMA'd buffers need tiling-aligned shapes: the apron'd width is
@@ -409,9 +415,14 @@ def _corr_bwd_pallas(fm0, fm1, g, d_max, stride, interpret):
         interpret=interpret,
     )(g_tiles, fm1_p)
 
+    # rows padded so every tile's sublane-aligned halo DMA (th2d8 rows, see
+    # _bwd_fm1_kernel) stays in bounds: last tile reads up to
+    # (hp - tile_h) + round_up(tile_h + 2d, 8).
+    th2d8 = _round_up(tile_h + 2 * d_max, 8)
+    g_rows_pad = (hp - tile_h + th2d8) - h - d_max
     g_pad = jnp.pad(
-        g, ((0, 0), (0, 0), (d_max, hp - h + d_max), (d_max, w128 - w - d_max))
-    )  # (B, K2, HP+2d, W128)
+        g, ((0, 0), (0, 0), (d_max, g_rows_pad), (d_max, w128 - w - d_max))
+    )  # (B, K2, HP_aligned, W128)
     fm0_p = jnp.pad(
         fm0,
         ((0, 0), (d_max, hp - h + d_max), (d_max, w8 - w - d_max), (0, cp - c)),
@@ -431,7 +442,7 @@ def _corr_bwd_pallas(fm0, fm1, g, d_max, stride, interpret):
         ),
         out_shape=jax.ShapeDtypeStruct((b, hp, w, cp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((k * k, tile_h + 2 * d_max, w128), jnp.float32),
+            pltpu.VMEM((k * k, th2d8, w128), jnp.float32),
             pltpu.VMEM((tile_h + 2 * d_max, w8, c_blk), fm0.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
