@@ -120,6 +120,22 @@ def main() -> None:
     jax.block_until_ready(out.boxes)
     infer_pairs_per_sec = 20 / (time.perf_counter() - t0)
 
+    # secondary: full-clip tracking (batched pair detection + native
+    # Viterbi linking) -- BASELINE config 5.
+    from detect_to_track_tpu.clip import ClipTracker
+    from detect_to_track_tpu.inference import Detector
+
+    detector = Detector(model, variables, cfg)
+    clip = [
+        np.asarray(batch.images[i % cfg.BATCH_SIZE, i % 2], np.float32)
+        for i in range(9)
+    ]
+    tracker = ClipTracker(detector, min_len=1, pair_batch=4)
+    tracker(clip)  # compile
+    t0 = time.perf_counter()
+    tracker(clip)
+    clip_fps = len(clip) / (time.perf_counter() - t0)
+
     # baseline ratio: previous recorded round, if any
     prev = None
     for path in sorted(glob.glob("BENCH_r*.json")):
@@ -139,6 +155,7 @@ def main() -> None:
                 "unit": "pairs/s",
                 "vs_baseline": round(vs, 3),
                 "inference_pairs_per_sec": round(infer_pairs_per_sec, 3),
+                "clip_tracking_fps": round(clip_fps, 3),
                 "correlation_fwd_ms_c4": round(corr_ms, 4),
                 "device": str(jax.devices()[0]),
                 "config": "608x1200 resnet50 b4 bf16 d_max=8 k=7",
