@@ -40,26 +40,34 @@ class PairDetections(NamedTuple):
     tracks: jnp.ndarray  # (D, 4) frame0->frame1 transforms (frame-0 slots)
 
 
-def detect_pair(
+def detect_pairs_batched(
     model: DetectTrackModule,
     variables,
     images: jnp.ndarray,
     anchors: jnp.ndarray,
     cfg: Config,
 ) -> PairDetections:
-    """jit-able forward for one frame pair.
+    """jit-able forward for a BATCH of frame pairs (the reference can only
+    process one pair per call, inference.py:54; here pairs fold into the
+    frame batch exactly like the training step).
 
     Args:
-        images: (2, H, W, 3) float32 in [0, 1] -- frames t and t+tau.
+        images: (P, 2, H, W, 3) float32 in [0, 1].
         anchors: (|A|, 4).
+
+    Returns PairDetections with a leading P axis on every field.
 
     Mirrors reference inference.py:54-121 stage by stage.
     """
-    fmaps = model.apply(variables, images, method="backbone")
+    p, two, h, w, _ = images.shape
+    assert two == 2
+    x = images.reshape(p * 2, h, w, 3)
+
+    fmaps = model.apply(variables, x, method="backbone")
 
     o_hat, b_hat, fm_reg = model.apply(variables, fmaps["c4"], method="rpn")
-    scores = o_hat[:, :, 1]  # (2, |A|) objectness
-    rboxes = frcnn_box_decode(anchors[None], b_hat)  # (2, |A|, 4)
+    scores = o_hat[:, :, 1]  # (2P, |A|) objectness
+    rboxes = frcnn_box_decode(anchors[None], b_hat)  # (2P, |A|, 4)
 
     props = batched_proposal_filter(
         scores,
@@ -68,16 +76,16 @@ def detect_pair(
         cfg.EVAL_ROI_CONF_THRESH,
         cfg.EVAL_NMS_IOU_THRESH,
         cfg.MAX_ROIS,
-    )  # boxes (2, R, 4), valid (2, R)
+    )  # boxes (2P, R, 4), valid (2P, R)
 
     c_hat, b2_hat = model.apply(
         variables, fmaps["c5"], props.boxes, method="rcnn"
-    )  # (2, R, C+1), (2, R, 4)
-    det_boxes = frcnn_box_decode(props.boxes, b2_hat)  # (2, R, 4)
+    )  # (2P, R, C+1), (2P, R, 4)
+    det_boxes = frcnn_box_decode(props.boxes, b2_hat)  # (2P, R, 4)
 
     # non-background filter (reference inference.py:44-52):
     # keep where sum of non-background confidences > thresh.
-    fg_conf = c_hat[:, :, 1:].sum(-1)  # (2, R)
+    fg_conf = c_hat[:, :, 1:].sum(-1)  # (2P, R)
     keep = (fg_conf > cfg.EVAL_RCNN_CONF_THRESH) & props.valid
 
     # compact the survivors to MAX_DETS slots per frame, highest fg-conf
@@ -93,40 +101,39 @@ def detect_pair(
     confs, boxes, valid = jax.vmap(compact)(keep, fg_conf, c_hat, det_boxes)
 
     # tracker on frame-0 final boxes (reference inference.py:108-118).
-    pyr0 = {k: v[0:1] for k, v in fmaps.items()}
-    pyr1 = {k: v[1:2] for k, v in fmaps.items()}
+    pyr0 = {k: v[0::2] for k, v in fmaps.items()}
+    pyr1 = {k: v[1::2] for k, v in fmaps.items()}
     tracks = model.apply(
         variables,
         pyr0,
         pyr1,
-        fm_reg[0:1],
-        fm_reg[1:2],
-        boxes[0:1],
+        fm_reg[0::2],
+        fm_reg[1::2],
+        boxes[0::2],
         method="c_tracker",
-    )[0]  # (D, 4)
+    )  # (P, D, 4)
 
-    return PairDetections(confs=confs, boxes=boxes, valid=valid, tracks=tracks)
+    return PairDetections(
+        confs=confs.reshape(p, 2, d, -1),
+        boxes=boxes.reshape(p, 2, d, 4),
+        valid=valid.reshape(p, 2, d),
+        tracks=tracks,
+    )
 
 
-def detect_pairs_batched(
+def detect_pair(
     model: DetectTrackModule,
     variables,
     images: jnp.ndarray,
     anchors: jnp.ndarray,
     cfg: Config,
 ) -> PairDetections:
-    """vmapped detect_pair over a batch of frame pairs.
-
-    Args:
-        images: (P, 2, H, W, 3) -- P independent frame pairs.
-
-    Returns PairDetections with a leading P axis on every field. This is the
-    full-clip throughput path (the reference can only process one pair at a
-    time, inference.py:54).
-    """
-    return jax.vmap(
-        lambda ims: detect_pair(model, variables, ims, anchors, cfg)
-    )(images)
+    """single-pair forward: images (2, H, W, 3); fields without the P axis."""
+    out = detect_pairs_batched(model, variables, images[None], anchors, cfg)
+    return PairDetections(
+        confs=out.confs[0], boxes=out.boxes[0], valid=out.valid[0],
+        tracks=out.tracks[0],
+    )
 
 
 class Detector:

@@ -101,23 +101,45 @@ def _fwd_kernel(
 
     dma.wait()
 
-    f0 = fm0_ref[0].astype(jnp.float32)  # (TH, W, CB)
+    f0 = fm0_ref[0]  # (TH, W, CB), native dtype (bf16 in training)
     h0 = hi * tile_h
+    w8 = halo.shape[1]
 
-    # di (rows) is a dynamic fori index -- dim 0 of the halo is untiled so
-    # Mosaic allows unaligned dynamic slicing there; dj (cols) indexes the
-    # sublane-tiled dim and must be static, so it is Python-unrolled.
+    # MXU formulation: for each row displacement di, ONE batched matmul
+    # contracts the channel block -- M[t, j, v] = <f0[t, j, :], rows[t, v, :]>
+    # -- and the (2d) needed diagonals (v = j + dj) are extracted with iota
+    # masks on the VPU. ~6x more FLOPs than the banded product, but they run
+    # on the systolic array instead of the vector unit (~10x net).
+    # di is a dynamic fori index (halo dim 0 is untiled); dj is unrolled.
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (w, w8), 0)
+    vcol = jax.lax.broadcasted_iota(jnp.int32, (w, w8), 1)
+
     def body(di, _):
-        rows = halo[pl.ds(di, tile_h)].astype(jnp.float32)  # (TH, W+2d, CB)
+        rows = halo[pl.ds(di, tile_h)]  # (TH, W+2d pad, CB)
+        m = jax.lax.dot_general(
+            f0,
+            rows,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            # f32 inputs get full-precision passes (the MXU's default is
+            # bf16 passes, fine for bf16 training features).
+            precision=(
+                jax.lax.Precision.HIGHEST
+                if f0.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT
+            ),
+        )  # (TH, W, W8)
         rmask = None
         if stride > 1:
             rmask = _row_mask(h0, tile_h, h, di - d_max, d_max, stride)
         for dj in range(2 * d_max):
-            prod = jnp.sum(f0 * rows[:, dj : dj + w, :], axis=-1)  # (TH, W)
+            diag = jnp.sum(
+                jnp.where((vcol == jcol + dj)[None], m, 0.0), axis=-1
+            )  # (TH, W) == M[t, j, j+dj]
             if stride > 1:
-                prod = prod * rmask
-                prod = prod * _col_mask(w, dj - d_max, d_max, stride)
-            out_ref[0, di * k + dj] += prod
+                diag = diag * rmask
+                diag = diag * _col_mask(w, dj - d_max, d_max, stride)
+            out_ref[0, di * k + dj] += diag
         return 0
 
     jax.lax.fori_loop(0, 2 * d_max, body, 0)
@@ -163,20 +185,35 @@ def _bwd_fm0_kernel(
     dma.wait()
 
     h0 = hi * tile_h
+    w8 = halo.shape[1]
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (w, w8), 0)
+    vcol = jax.lax.broadcasted_iota(jnp.int32, (w, w8), 1)
 
+    # MXU formulation: scatter the (2d) gradient planes for this row
+    # displacement into a banded matrix Gb[t, j, v] (v = j + dj), then ONE
+    # batched matmul against the halo rows contracts the band:
+    #   dFM0[t, j, :] += sum_v Gb[t, j, v] * rows[t, v, :].
     def body(di, _):
-        rows = halo[pl.ds(di, tile_h)].astype(jnp.float32)  # (TH, W+2d, CB)
+        rows = halo[pl.ds(di, tile_h)]  # (TH, W8, CB)
         rmask = None
         if stride > 1:
             rmask = _row_mask(h0, tile_h, h, di - d_max, d_max, stride)
-        acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
+        gb = jnp.zeros((tile_h, w, w8), jnp.float32)
         for dj in range(2 * d_max):
             g = g_ref[0, di * k + dj].astype(jnp.float32)  # (TH, W)
             if stride > 1:
                 g = g * rmask
                 g = g * _col_mask(w, dj - d_max, d_max, stride)
-            acc = acc + g[:, :, None] * rows[:, dj : dj + w, :]
-        out_ref[0] += acc
+            gb = gb + jnp.where(
+                (vcol == jcol + dj)[None], g[:, :, None], 0.0
+            )
+        out_ref[0] += jax.lax.dot_general(
+            gb,
+            rows.astype(jnp.float32),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (TH, W, CB)
         return 0
 
     jax.lax.fori_loop(0, 2 * d_max, body, 0)
