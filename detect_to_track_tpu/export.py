@@ -1,0 +1,59 @@
+"""serialized inference export (serving path).
+
+Exports the full jitted pair-detection graph (backbone -> RPN -> NMS ->
+R-FCN -> tracker, weights baked in) as a portable StableHLO artifact via
+jax.export. A serving process can load and run it without the model code --
+a deployment story the reference (research-script-only) does not have.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .anchors import build_anchors
+from .config import Config
+from .inference import detect_pairs_batched
+from .models import DetectTrackModule
+
+
+def export_detector(
+    model: DetectTrackModule,
+    variables,
+    cfg: Config,
+    path: str,
+    pair_batch: int = 1,
+) -> None:
+    """serialize the batched pair-detection graph to `path`.
+
+    The exported function signature is images (P, 2, H, W, 3) float32 ->
+    PairDetections tuple (confs, boxes, valid, tracks); weights and anchors
+    are closed over as constants.
+    """
+    from jax import export as jexport
+
+    anchors = jnp.asarray(
+        build_anchors(cfg.fm_shape, cfg.ANCHOR_AREAS, cfg.ANCHOR_ASPECT_RATIOS)
+    )
+
+    def fn(images):
+        out = detect_pairs_batched(model, variables, images, anchors, cfg)
+        return tuple(out)
+
+    h, w = cfg.INPUT_SHAPE
+    spec = jax.ShapeDtypeStruct((pair_batch, 2, h, w, 3), jnp.float32)
+    exported = jexport.export(jax.jit(fn))(spec)
+    Path(path).write_bytes(exported.serialize())
+
+
+def load_detector(path: str):
+    """load an exported detector; returns a callable
+    images (P, 2, H, W, 3) -> (confs, boxes, valid, tracks)."""
+    from jax import export as jexport
+
+    exported = jexport.deserialize(Path(path).read_bytes())
+    return lambda images: exported.call(jnp.asarray(images, jnp.float32))
