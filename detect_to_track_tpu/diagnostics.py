@@ -33,4 +33,6 @@ def checked_loss_fn(loss_fn: Callable) -> Callable:
             )
         return dtl
 
-    return checkify.checkify(inner, errors=checkify.float_checks)
+    return checkify.checkify(
+        inner, errors=checkify.user_checks | checkify.float_checks
+    )
