@@ -325,11 +325,15 @@ def _col_mask_shift(size: int, dj: int, d_max: int, stride: int):
 
 
 def _plan(b, h, w, c, d_max):
-    tile_h = min(8, _round_up(h, 4))
+    # big tiles: grid-step and loop overhead dominate this kernel well before
+    # VMEM does (v5e has ~100 MB usable), so take the whole height when it
+    # fits and large channel blocks. tile_h must stay sublane-aligned for
+    # the halo DMAs.
+    tile_h = _round_up(min(h, 40), 8)
     hp = _round_up(h, tile_h)
     # channel blocks must be lane-aligned for the halo DMAs (and small
     # channel counts are padded up to one lane tile).
-    c_blk = min(_round_up(c, 128), 256)
+    c_blk = min(_round_up(c, 128), 512)
     cp = _round_up(c, c_blk)
     grid = (b, hp // tile_h, cp // c_blk)
     # manual-DMA'd buffers need tiling-aligned shapes: the apron'd width is

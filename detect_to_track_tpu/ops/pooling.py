@@ -61,8 +61,11 @@ def _roi_pool_einsum(fm, rois, r_hw):
     cmask = _range_masks(j0, j1, fm_w)  # (|R|, k, W)
 
     f = fm.astype(jnp.promote_types(fm.dtype, jnp.float32))
-    p1 = jnp.einsum("rih,hwc->riwc", rmask, f, precision=_PREC)
-    sums = jnp.einsum("riwc,rjw->rijc", p1, cmask, precision=_PREC)
+    # contract the larger spatial dim (W) first: the intermediate is
+    # (|R|, k, H, C) instead of (|R|, k, W, C), ~halving peak memory at the
+    # 38x75 working point (this runs vmapped over the frame batch).
+    p1 = jnp.einsum("rjw,hwc->rjhc", cmask, f, precision=_PREC)
+    sums = jnp.einsum("rih,rjhc->rijc", rmask, p1, precision=_PREC)
 
     numel = _bin_numel(i0, i1, j0, j1)[..., None]
     return jnp.where(numel > 0, sums / jnp.maximum(numel, 1.0), 0.0)
@@ -123,8 +126,10 @@ def _ps_roi_pool_einsum(fm, rois, n_targets, r_hw, paper_layout):
     f = fm.astype(jnp.promote_types(fm.dtype, jnp.float32))
     fg = f[:, :, ch]  # (H, W, T, k, k)
 
-    p1 = jnp.einsum("rih,hwtij->rwtij", rmask, fg, precision=_PREC)
-    sums = jnp.einsum("rwtij,rjw->rtij", p1, cmask, precision=_PREC)
+    # contract W first (see _roi_pool_einsum): intermediate (|R|, H, T, k, k)
+    # beats (|R|, W, T, k, k) on peak memory.
+    p1 = jnp.einsum("rjw,hwtij->rhtij", cmask, fg, precision=_PREC)
+    sums = jnp.einsum("rih,rhtij->rtij", rmask, p1, precision=_PREC)
 
     numel = _bin_numel(i0, i1, j0, j1)[:, None, :, :]
     return jnp.where(numel > 0, sums / jnp.maximum(numel, 1.0), 0.0)
