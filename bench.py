@@ -18,7 +18,6 @@ included as extra keys.
 
 import glob
 import json
-import sys
 import time
 
 import numpy as np

@@ -14,7 +14,6 @@ from typing import List, Sequence, Tuple
 
 import numpy as np
 
-from .config import Config
 from .inference import Detector
 from .viterbi import viterbi_tracking
 

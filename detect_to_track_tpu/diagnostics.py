@@ -13,9 +13,8 @@ check (ps_roipool.py:44-49); nothing detects NaN/Inf during training
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
-import jax
 import jax.numpy as jnp
 from jax.experimental import checkify
 

@@ -8,7 +8,7 @@ compared on the metric the D&T paper reports.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import numpy as np
 

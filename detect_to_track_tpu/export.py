@@ -8,12 +8,10 @@ a deployment story the reference (research-script-only) does not have.
 
 from __future__ import annotations
 
-import functools
 from pathlib import Path
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .anchors import build_anchors
 from .config import Config

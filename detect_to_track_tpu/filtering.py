@@ -12,7 +12,7 @@ on-device pipeline (tests/test_nms.py).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -25,14 +25,12 @@ Off-TPU (tests, CPU) the same custom_vjp wraps interpret-mode kernels, or
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .lax_ref import correlation_window_masks, pointwise_correlation_ref
+from .lax_ref import pointwise_correlation_ref
 
 
 def _round_up(x: int, m: int) -> int:
@@ -456,35 +454,48 @@ def _corr_bwd_pallas(fm0, fm1, g, d_max, stride, interpret):
         interpret=interpret,
     )(g_tiles, fm1_p)
 
+    # the dfm1 kernel statically unrolls BOTH displacement loops (its slices
+    # all touch tiled dims), so it runs with its own SMALL row tile -- big
+    # tiles multiply the unrolled live state and spill registers.
+    tile_b = min(8, tile_h)
+    hp_b = _round_up(h, tile_b)
+    grid_b = (b, hp_b // tile_b, cp // c_blk)
+    common_b = dict(common, tile_h=tile_b)
+
     # rows padded so every tile's sublane-aligned halo DMA (th2d8 rows, see
     # _bwd_fm1_kernel) stays in bounds: last tile reads up to
-    # (hp - tile_h) + round_up(tile_h + 2d, 8).
-    th2d8 = _round_up(tile_h + 2 * d_max, 8)
-    g_rows_pad = (hp - tile_h + th2d8) - h - d_max
+    # (hp_b - tile_b) + round_up(tile_b + 2d, 8).
+    th2d8 = _round_up(tile_b + 2 * d_max, 8)
+    g_rows_pad = (hp_b - tile_b + th2d8) - h - d_max
     g_pad = jnp.pad(
         g, ((0, 0), (0, 0), (d_max, g_rows_pad), (d_max, w128 - w - d_max))
     )  # (B, K2, HP_aligned, W128)
     fm0_p = jnp.pad(
         fm0,
-        ((0, 0), (d_max, hp - h + d_max), (d_max, w8 - w - d_max), (0, cp - c)),
+        (
+            (0, 0),
+            (d_max, hp_b - h + d_max),
+            (d_max, w8 - w - d_max),
+            (0, cp - c),
+        ),
     )
 
     dfm1 = pl.pallas_call(
-        functools.partial(_bwd_fm1_kernel, **common),
-        grid=grid,
+        functools.partial(_bwd_fm1_kernel, **common_b),
+        grid=grid_b,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (1, tile_h, w, c_blk),
+            (1, tile_b, w, c_blk),
             lambda bb, hh, cc: (bb, hh, 0, cc),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, hp, w, cp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, hp_b, w, cp), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((k * k, th2d8, w128), jnp.float32),
-            pltpu.VMEM((tile_h + 2 * d_max, w8, c_blk), fm0.dtype),
+            pltpu.VMEM((tile_b + 2 * d_max, w8, c_blk), fm0.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
