@@ -455,12 +455,14 @@ def _corr_bwd_pallas(fm0, fm1, g, d_max, stride, interpret):
     )(g_tiles, fm1_p)
 
     # the dfm1 kernel statically unrolls BOTH displacement loops (its slices
-    # all touch tiled dims), so it runs with its own SMALL row tile -- big
-    # tiles multiply the unrolled live state and spill registers.
+    # all touch tiled dims), so it runs with its own SMALL row tile and
+    # channel block -- big tiles multiply the unrolled live state and spill
+    # registers past VMEM.
     tile_b = min(8, tile_h)
+    c_blk_b = min(256, c_blk)
     hp_b = _round_up(h, tile_b)
-    grid_b = (b, hp_b // tile_b, cp // c_blk)
-    common_b = dict(common, tile_h=tile_b)
+    grid_b = (b, hp_b // tile_b, cp // c_blk_b)
+    common_b = dict(common, tile_h=tile_b, c_blk=c_blk_b)
 
     # rows padded so every tile's sublane-aligned halo DMA (th2d8 rows, see
     # _bwd_fm1_kernel) stays in bounds: last tile reads up to
@@ -488,14 +490,14 @@ def _corr_bwd_pallas(fm0, fm1, g, d_max, stride, interpret):
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (1, tile_b, w, c_blk),
+            (1, tile_b, w, c_blk_b),
             lambda bb, hh, cc: (bb, hh, 0, cc),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, hp_b, w, cp), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((k * k, th2d8, w128), jnp.float32),
-            pltpu.VMEM((tile_b + 2 * d_max, w8, c_blk), fm0.dtype),
+            pltpu.VMEM((tile_b + 2 * d_max, w8, c_blk_b), fm0.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -362,7 +362,33 @@ class DetectTrackTrainer:
             opt_state=self.tx.init(params),
             step=jnp.zeros((), jnp.int32),
         )
-        self._train_step = make_train_step(model, cfg, self.tx)
+        self.mesh = None
+        if cfg.NUM_DEVICES > 1:
+            # data-parallel mesh: params replicated, batch sharded; the
+            # gradient mean all-reduces over ICI (parallel/mesh.py).
+            from .parallel import (
+                make_mesh,
+                make_parallel_train_step,
+                replicate,
+                shard_batch,
+            )
+
+            if cfg.BATCH_SIZE % cfg.NUM_DEVICES != 0:
+                raise ValueError(
+                    f"BATCH_SIZE {cfg.BATCH_SIZE} must divide over "
+                    f"NUM_DEVICES {cfg.NUM_DEVICES}"
+                )
+            self.mesh = make_mesh(cfg.NUM_DEVICES, cfg.MESH_AXES)
+            self.state = replicate(self.state, self.mesh)
+            self._shard_batch = lambda b: shard_batch(b, self.mesh)
+            self._train_step_raw = make_parallel_train_step(
+                model, cfg, self.tx, self.mesh
+            )
+            self._train_step = lambda s, b: self._train_step_raw(
+                s, self._shard_batch(b)
+            )
+        else:
+            self._train_step = make_train_step(model, cfg, self.tx)
         self._eval_step = make_eval_step(model, cfg)
 
         self.trn_loader = BatchLoader(trn_manager, cfg.BATCH_SIZE, cfg, seed=0)
