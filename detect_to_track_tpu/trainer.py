@@ -404,6 +404,7 @@ class DetectTrackTrainer:
         self.n_iters = 0
         self.best_val_loss = float("inf")
         self.iters_no_improvement = 0
+        self._max_iters = float("inf")
         self._coefs = jnp.asarray(cfg.COEFS, jnp.float32)
 
     # -- logging (wandb if available, else JSONL + stdout; the reference is
@@ -441,6 +442,8 @@ class DetectTrackTrainer:
                 self._check_finite(dtl)
                 trn_loss = trn_loss + dtl
                 self.n_iters += self.cfg.BATCH_SIZE
+                if self.n_iters >= self._max_iters:
+                    break  # stop mid-epoch too (smoke runs, budget caps)
         finally:
             if trace_ctx is not None:
                 trace_ctx.__exit__(None, None, None)
@@ -566,8 +569,9 @@ class DetectTrackTrainer:
             self.iters_no_improvement += 1
 
     def run(self, max_iters: float = float("inf")) -> None:
+        self._max_iters = max_iters
         while not (
             self.iters_no_improvement > self.cfg.PATIENCE
-            or self.n_iters > max_iters
+            or self.n_iters >= max_iters
         ):
             self.step()
