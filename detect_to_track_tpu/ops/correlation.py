@@ -11,12 +11,18 @@ TPU-first design (vs. the CUDA one-thread-per-pixel kernel):
   planes are computed from VMEM. HBM traffic is ~one read of each feature
   map instead of one read per displacement (289x less than a naive XLA
   unrolling).
+- per row displacement, the channel contraction runs as ONE batched matmul
+  on the MXU; the (2d) needed diagonals are extracted with iota masks.
 - channels are blocked (grid dim, sequentially revisited) so c4/c5-sized
-  maps (1024/2048 ch) stay inside the ~16 MB VMEM budget; partial dot
-  products accumulate into the revisited f32 output block.
+  maps (1024/2048 ch) stay inside VMEM; partial dot products accumulate
+  into the revisited f32 output block. Tiles are as large as VMEM allows
+  (whole-height at the working point) -- grid-step overhead dominates this
+  kernel before arithmetic does.
 - the backward is two gather-style Pallas kernels (each output element owns
   its full sum) -- no atomicAdd scatter like the CUDA backward
-  (pointwise_correlation_cuda.cu:154-171).
+  (pointwise_correlation_cuda.cu:154-171). dFM0 uses the banded-matmul MXU
+  form; dFM1 keeps small tiles (its fully-unrolled displacement loops
+  multiply live registers).
 
 Off-TPU (tests, CPU) the same custom_vjp wraps interpret-mode kernels, or
 `impl="xla"` falls back to the differentiable lax oracle.
