@@ -136,6 +136,76 @@ def detect_pair(
     )
 
 
+class ClipDetections(NamedTuple):
+    """fixed-shape per-clip outputs (leading axis F = frames)."""
+
+    confs: jnp.ndarray  # (F, D, C+1)
+    boxes: jnp.ndarray  # (F, D, 4)
+    valid: jnp.ndarray  # (F, D)
+    tracks: jnp.ndarray  # (F-1, D, 4) frame t -> t+1 transforms
+
+
+def detect_clip(
+    model: DetectTrackModule,
+    variables,
+    frames: jnp.ndarray,
+    anchors: jnp.ndarray,
+    cfg: Config,
+) -> ClipDetections:
+    """jit-able forward for F CONSECUTIVE frames: the backbone/RPN/R-FCN run
+    ONCE per frame and the tracker runs on every adjacent pair by slicing
+    the shared feature batch -- the pair-based API recomputes every interior
+    frame twice (as the reference must, inference.py:54).
+
+    Args:
+        frames: (F, H, W, 3) float32 in [0, 1], F >= 2.
+    """
+    f = frames.shape[0]
+    fmaps = model.apply(variables, frames, method="backbone")
+
+    o_hat, b_hat, fm_reg = model.apply(variables, fmaps["c4"], method="rpn")
+    rboxes = frcnn_box_decode(anchors[None], b_hat)
+    props = batched_proposal_filter(
+        o_hat[:, :, 1],
+        rboxes,
+        cfg.PRE_NMS_TOPK,
+        cfg.EVAL_ROI_CONF_THRESH,
+        cfg.EVAL_NMS_IOU_THRESH,
+        cfg.MAX_ROIS,
+    )
+
+    c_hat, b2_hat = model.apply(
+        variables, fmaps["c5"], props.boxes, method="rcnn"
+    )
+    det_boxes = frcnn_box_decode(props.boxes, b2_hat)
+    fg_conf = c_hat[:, :, 1:].sum(-1)
+    keep = (fg_conf > cfg.EVAL_RCNN_CONF_THRESH) & props.valid
+
+    d = cfg.MAX_DETS
+
+    def compact(keep_f, conf_f, confs_f, boxes_f):
+        key = jnp.where(keep_f, conf_f, -jnp.inf)
+        top, idx = jax.lax.top_k(key, d)
+        return confs_f[idx], boxes_f[idx], jnp.isfinite(top)
+
+    confs, boxes, valid = jax.vmap(compact)(keep, fg_conf, c_hat, det_boxes)
+
+    # tracker over all adjacent pairs, sharing the per-frame features.
+    pyr0 = {k: v[:-1] for k, v in fmaps.items()}
+    pyr1 = {k: v[1:] for k, v in fmaps.items()}
+    tracks = model.apply(
+        variables,
+        pyr0,
+        pyr1,
+        fm_reg[:-1],
+        fm_reg[1:],
+        boxes[:-1],
+        method="c_tracker",
+    )  # (F-1, D, 4)
+
+    return ClipDetections(confs=confs, boxes=boxes, valid=valid, tracks=tracks)
+
+
 class Detector:
     """host-facing detector with the reference's API
     (reference inference.py:21-121): __call__(im0, im1) ->
@@ -168,6 +238,18 @@ class Detector:
         return self._fwd_batched(
             self.variables, jnp.asarray(pairs), self.anchors
         )
+
+    def detect_clip(self, frames) -> ClipDetections:
+        """consecutive-frame raw API: frames is (F, H, W, 3); backbone runs
+        once per frame (see detect_clip). One jit cache entry per F."""
+        f = len(frames)
+        if not hasattr(self, "_fwd_clip"):
+            self._fwd_clip = {}
+        if f not in self._fwd_clip:
+            self._fwd_clip[f] = jax.jit(
+                functools.partial(detect_clip, self.model, cfg=self.cfg)
+            )
+        return self._fwd_clip[f](self.variables, jnp.asarray(frames), self.anchors)
 
     def _to_array(self, im) -> np.ndarray:
         if isinstance(im, np.ndarray):
