@@ -312,6 +312,65 @@ def _bwd_fm1_kernel(
             out_ref[0] += g[:, :, None] * f0
 
 
+def _bwd_fm1_single_tile_kernel(
+    g_ref,  # (1, K2, TH, W) VMEM (pipeline block; TH == HP, single row tile)
+    fm0_ref,  # (1, TH, W, CB) VMEM (pipeline block)
+    out_ref,  # (1, TH, W, CB) VMEM
+    acc,  # (TH + 2d, W2D8, CB) f32 VMEM scratch (target apron)
+    *,
+    d_max: int,
+    stride: int,
+    tile_h: int,
+    h: int,
+    w: int,
+    c_blk: int,
+):
+    """dFM1 as a SOURCE-centric banded matmul (used when the whole height
+    fits one tile, which holds at the working point):
+
+    for each row displacement di, scatter this di's gradient planes into a
+    banded matrix Gb[t, j, v] (v = target col), contract the source column j
+    against FM0 on the MXU, and accumulate into target rows t + di of an
+    apron'd scratch. No halo DMAs, no unrolled displacement products -- the
+    dynamic row index lands on the scratch's untiled leading dim.
+    """
+    k = 2 * d_max + 1
+    th = tile_h
+    w2d8 = acc.shape[1]
+
+    f0 = fm0_ref[0]  # (TH, W, CB)
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (w, w2d8), 0)
+    vcol = jax.lax.broadcasted_iota(jnp.int32, (w, w2d8), 1)
+
+    acc[...] = jnp.zeros_like(acc)
+
+    def body(di, _):
+        gb = jnp.zeros((th, w, w2d8), jnp.float32)
+        rmask = None
+        if stride > 1:
+            rmask = _row_mask(0, th, h, di - d_max, d_max, stride)
+        for dj in range(2 * d_max):
+            g = g_ref[0, di * k + dj].astype(jnp.float32)  # (TH, W) at source
+            if stride > 1:
+                g = g * rmask
+                g = g * _col_mask(w, dj - d_max, d_max, stride)
+            # target col v = j + dj (apron origin: v == q + d)
+            gb = gb + jnp.where((vcol == jrow + dj)[None], g[:, :, None], 0.0)
+        contrib = jax.lax.dot_general(
+            gb,
+            f0.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (TH, V, CB), contracted over source col j
+        # target row p = t + di - d -> apron row t + di
+        acc[pl.ds(di, th)] += contrib
+        return 0
+
+    jax.lax.fori_loop(0, 2 * d_max, body, 0)
+    out_ref[0] = acc[pl.ds(d_max, th), pl.ds(d_max, w), :].astype(out_ref.dtype)
+
+
 def _col_mask_shift(size: int, dj: int, d_max: int, stride: int):
     """column mask for _bwd_fm1_kernel evaluated at source col j = q - oj."""
     q = jax.lax.broadcasted_iota(jnp.int32, (1, size), 1)
@@ -460,10 +519,49 @@ def _corr_bwd_pallas(fm0, fm1, g, d_max, stride, interpret):
         interpret=interpret,
     )(g_tiles, fm1_p)
 
-    # the dfm1 kernel statically unrolls BOTH displacement loops (its slices
-    # all touch tiled dims), so it runs with its own SMALL row tile and
-    # channel block -- big tiles multiply the unrolled live state and spill
-    # registers past VMEM.
+    if hp == tile_h:
+        # fast path (always taken at the working point): the whole height is
+        # one tile, so dFM1 runs as a source-centric banded matmul with a
+        # target-row apron -- no halo DMAs at all.
+        w2d8 = _round_up(w + 2 * d_max, 8)
+        fm0_t = jnp.pad(fm0, ((0, 0), (0, hp - h), (0, 0), (0, cp - c)))
+        dfm1 = pl.pallas_call(
+            functools.partial(_bwd_fm1_single_tile_kernel, **common),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, k * k, tile_h, w),
+                    lambda bb, hh, cc: (bb, 0, hh, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, tile_h, w, c_blk),
+                    lambda bb, hh, cc: (bb, hh, 0, cc),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, tile_h, w, c_blk),
+                lambda bb, hh, cc: (bb, hh, 0, cc),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, hp, w, cp), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((tile_h + 2 * d_max, w2d8, c_blk), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(g_tiles, fm0_t)
+        dfm0 = dfm0[:, :h, :, :c].astype(fm0.dtype)
+        dfm1 = dfm1[:, :h, :, :c].astype(fm1.dtype)
+        return dfm0, dfm1
+
+    # general path (H spans several tiles): the halo'd dfm1 kernel statically
+    # unrolls BOTH displacement loops (its slices all touch tiled dims), so
+    # it runs with its own SMALL row tile and channel block -- big tiles
+    # multiply the unrolled live state and spill registers past VMEM.
     tile_b = min(8, tile_h)
     c_blk_b = min(256, c_blk)
     hp_b = _round_up(h, tile_b)
