@@ -211,12 +211,17 @@ def _bwd_fm0_kernel(
             gb = gb + jnp.where(
                 (vcol == jcol + dj)[None], g[:, :, None], 0.0
             )
+        bf16 = rows.dtype == jnp.bfloat16
         out_ref[0] += jax.lax.dot_general(
-            gb,
-            rows.astype(jnp.float32),
+            gb.astype(rows.dtype) if bf16 else gb,
+            rows if bf16 else rows.astype(jnp.float32),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            # bf16 training features take fast MXU passes (grads already
+            # flow through bf16 convs); f32 oracles keep full precision.
+            precision=(
+                jax.lax.Precision.DEFAULT if bf16 else jax.lax.Precision.HIGHEST
+            ),
         )  # (TH, W, CB)
         return 0
 
@@ -356,12 +361,15 @@ def _bwd_fm1_single_tile_kernel(
                 g = g * _col_mask(w, dj - d_max, d_max, stride)
             # target col v = j + dj (apron origin: v == q + d)
             gb = gb + jnp.where((vcol == jrow + dj)[None], g[:, :, None], 0.0)
+        bf16 = f0.dtype == jnp.bfloat16
         contrib = jax.lax.dot_general(
-            gb,
-            f0.astype(jnp.float32),
+            gb.astype(f0.dtype) if bf16 else gb,
+            f0 if bf16 else f0.astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=(
+                jax.lax.Precision.DEFAULT if bf16 else jax.lax.Precision.HIGHEST
+            ),
         )  # (TH, V, CB), contracted over source col j
         # target row p = t + di - d -> apron row t + di
         acc[pl.ds(di, th)] += contrib
