@@ -1,0 +1,253 @@
+"""END-TO-END numerical parity of the full detection graph vs an inline torch
+transcription of the reference model (reference models/rpn.py:9-52,
+models/rfcn.py:10-84, models/correlation_tracker.py:13-87), sharing ONE
+random reference-keyed state_dict through models/convert.py.
+
+The torch side rebuilds the reference's modules with torch convs and the
+pinned numpy transcriptions of its CUDA ops (tests/test_ops_pooling.py,
+tests/test_ops_correlation.py). On identical proposals, converted weights
+must produce the same RPN scores/offsets, R-FCN class confidences/box
+offsets, and tracker transforms within fp32 tolerance -- proving a
+reference-trained checkpoint behaves identically here (VERDICT r1 item 4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as tnn
+
+from detect_to_track_tpu.models import DetectTrackModule
+from detect_to_track_tpu.models.convert import convert_reference_state_dict
+from detect_to_track_tpu.models.resnet import IMAGENET_MEAN, IMAGENET_STD
+from tests.test_models import _fake_torch_state_dict
+from tests.test_ops_correlation import _direct_corr
+from tests.test_ops_pooling import _direct_psroipool, _direct_roipool
+from tests.test_torch_parity import _TorchResNet
+
+ARCH = "resnet50"
+N_CLASSES = 5
+N_ANCHORS = 3
+K = 3  # pooled grid (reference cfg K=7; small keeps the scalar oracles fast)
+D_MAX = 2
+REG_CH = 512
+HW = (64, 96)  # stride-16 c4/c5 at 4x6
+
+
+def _full_reference_state_dict():
+    """random state_dict with the reference DetectTrackModule's exact keys
+    (reference models/detect_track.py:41-55; backbone under 'backbone.1.'
+    because of the Sequential(Normalizer, backbone) wrap, resnet.py:34-37)."""
+    rng = np.random.RandomState(7)
+    sd = {
+        f"backbone.1.{k}": v for k, v in _fake_torch_state_dict(ARCH).items()
+    }
+
+    def conv(name, cin, cout, k):
+        sd[f"{name}.weight"] = rng.randn(cout, cin, k, k).astype(np.float32) * 0.05
+        sd[f"{name}.bias"] = rng.randn(cout).astype(np.float32) * 0.1
+
+    conv("rpn.conv", 1024, REG_CH, 3)
+    conv("rpn.cls_fc", REG_CH, 2 * N_ANCHORS, 1)
+    conv("rpn.reg_fc", REG_CH, 4 * N_ANCHORS, 1)
+    conv("rcnn.channel_reduce", 2048, REG_CH, 3)
+    conv("rcnn.cls_head.sm_conv", REG_CH, (N_CLASSES + 1) * K * K, 1)
+    conv("rcnn.reg_head.sm_conv", REG_CH, 4 * K * K, 1)
+
+    fc_channels = (3 * (2 * D_MAX + 1) ** 2 + 2 * REG_CH) * K * K
+    sd["c_tracker.reg_fc.weight"] = (
+        rng.randn(4, fc_channels).astype(np.float32) * 0.02
+    )
+    sd["c_tracker.reg_fc.bias"] = rng.randn(4).astype(np.float32) * 0.1
+    return sd
+
+
+class _TorchRPN(tnn.Module):
+    """transcription of reference models/rpn.py:17-52."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv = tnn.Conv2d(1024, REG_CH, 3, padding=1)
+        self.cls_fc = tnn.Conv2d(REG_CH, 2 * N_ANCHORS, 1)
+        self.reg_fc = tnn.Conv2d(REG_CH, 4 * N_ANCHORS, 1)
+
+    @staticmethod
+    def _flatten(x, t):
+        x = x.permute(0, 2, 3, 1).contiguous()
+        return x.view(x.size(0), -1, t)
+
+    def forward(self, x):
+        x = torch.relu(self.conv(x))
+        o = self._flatten(self.cls_fc(x), 2).softmax(dim=2)
+        b = self._flatten(self.reg_fc(x), 4)
+        return o, b, x
+
+
+class _TorchRFCN(tnn.Module):
+    """transcription of reference models/rfcn.py:46-84 with the pinned numpy
+    PSROIPool oracle standing in for the CUDA kernel."""
+
+    def __init__(self):
+        super().__init__()
+        self.channel_reduce = tnn.Conv2d(2048, REG_CH, 3, dilation=6, padding=6)
+        self.cls_sm_conv = tnn.Conv2d(REG_CH, (N_CLASSES + 1) * K * K, 1)
+        self.reg_sm_conv = tnn.Conv2d(REG_CH, 4 * K * K, 1)
+
+    def _head(self, sm, rois, n_targets):
+        fm = sm.squeeze(0).permute(1, 2, 0).numpy()  # (H, W, n_targets*k^2)
+        pooled = _direct_psroipool(fm, rois, n_targets, K)  # (R, t, k, k)
+        return pooled.mean(-1).mean(-1)  # (R, n_targets)
+
+    def forward(self, x, rois):
+        x = torch.relu(self.channel_reduce(x))
+        c = self._head(self.cls_sm_conv(x), rois, N_CLASSES + 1)
+        c = torch.from_numpy(c).softmax(dim=1).numpy()
+        b = self._head(self.reg_sm_conv(x), rois, 4)
+        return c, b
+
+
+def _torch_tracker(sd, pyr0, pyr1, reg0, reg1, rois):
+    """transcription of reference models/correlation_tracker.py:35-87 with
+    the pinned numpy correlation / ROIPool oracles."""
+    c3_0 = tnn.functional.interpolate(pyr0["c3"], scale_factor=0.5)
+    c3_1 = tnn.functional.interpolate(pyr1["c3"], scale_factor=0.5)
+
+    def corr(a, b):
+        vol = _direct_corr(
+            a.permute(0, 2, 3, 1).numpy(), b.permute(0, 2, 3, 1).numpy(),
+            D_MAX, 1,
+        )[0]  # (H, W, 2d+1, 2d+1)
+        h, w = vol.shape[:2]
+        # reference's view+permute flatten (correlation_tracker.py:64-72)
+        return vol.reshape(h, w, -1).transpose(2, 0, 1)  # ((2d+1)^2, H, W)
+
+    feats = np.concatenate(
+        [
+            reg0.squeeze(0).numpy(),
+            reg1.squeeze(0).numpy(),
+            corr(c3_0, c3_1),
+            corr(pyr0["c4"], pyr1["c4"]),
+            corr(pyr0["c5"], pyr1["c5"]),
+        ]
+    )  # (C, H, W)
+    pooled = _direct_roipool(feats.transpose(1, 2, 0), rois, K)  # (R, k, k, C)
+    flat = pooled.transpose(0, 3, 1, 2).reshape(len(rois), -1)  # (C, k, k) order
+    w = sd["c_tracker.reg_fc.weight"]
+    b = sd["c_tracker.reg_fc.bias"]
+    return flat @ w.T + b
+
+
+def test_full_graph_detection_parity(rng):
+    sd = _full_reference_state_dict()
+
+    # --- torch (reference transcription) side ---
+    tbackbone = _TorchResNet(ARCH).eval()
+    bb_sd = {
+        k[len("backbone.1.") :]: torch.from_numpy(v)
+        for k, v in sd.items()
+        if k.startswith("backbone.1.")
+    }
+    missing, unexpected = tbackbone.load_state_dict(bb_sd, strict=False)
+    assert not unexpected and all("num_batches_tracked" in k for k in missing)
+
+    trpn = _TorchRPN()
+    trpn.load_state_dict(
+        {
+            k[len("rpn.") :]: torch.from_numpy(v)
+            for k, v in sd.items()
+            if k.startswith("rpn.")
+        }
+    )
+    trpn.eval()
+    trfcn = _TorchRFCN()
+    trfcn.load_state_dict(
+        {
+            k[len("rcnn.") :].replace("cls_head.sm_conv", "cls_sm_conv").replace(
+                "reg_head.sm_conv", "reg_sm_conv"
+            ): torch.from_numpy(v)
+            for k, v in sd.items()
+            if k.startswith("rcnn.")
+        }
+    )
+    trfcn.eval()
+
+    h, w = HW
+    images = rng.rand(2, h, w, 3).astype(np.float32)
+    rois = np.array(
+        [
+            [0.5071, 0.5133, 0.5027, 0.4943],
+            [0.1037, 0.1091, 0.2013, 0.3087],
+            [0.5233, 0.4677, 0.1109, 0.8313],
+            [0.3041, 0.7087, 0.4031, 0.2017],
+        ],
+        np.float32,
+    )
+
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+    x_t = torch.from_numpy(
+        ((images - mean) / std).transpose(0, 3, 1, 2)
+    )
+    with torch.no_grad():
+        t3, t4, t5 = tbackbone(x_t)
+        to, tb, treg = trpn(t4)
+        tc_hat, tb_hat = trfcn(t5[0:1], rois)
+        pyr0 = {"c3": t3[0:1], "c4": t4[0:1], "c5": t5[0:1]}
+        pyr1 = {"c3": t3[1:2], "c4": t4[1:2], "c5": t5[1:2]}
+        tt_hat = _torch_tracker(sd, pyr0, pyr1, treg[0:1], treg[1:2], rois)
+
+    # --- jax side through the converter ---
+    params = convert_reference_state_dict(sd, ARCH)
+    model = DetectTrackModule(
+        backbone_arch=ARCH,
+        n_anchors=N_ANCHORS,
+        n_classes=N_CLASSES,
+        k=K,
+        d_max=D_MAX,
+        r_hw=K,
+        dtype=jnp.float32,
+    )
+    init_params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(images),
+        jnp.asarray(rois)[None].repeat(2, 0),
+    )["params"]
+    assert jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(np.asarray, params)
+    ) == jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(np.asarray, init_params)
+    )
+
+    variables = {"params": params}
+    fm = model.apply(variables, jnp.asarray(images), method="backbone")
+    jo, jb, jreg = model.apply(variables, fm["c4"], method="rpn")
+    jc_hat, jb_hat = model.apply(
+        variables, fm["c5"][0:1], jnp.asarray(rois)[None], method="rcnn"
+    )
+    jpyr0 = {k: v[0:1] for k, v in fm.items()}
+    jpyr1 = {k: v[1:2] for k, v in fm.items()}
+    jt_hat = model.apply(
+        variables,
+        jpyr0,
+        jpyr1,
+        jreg[0:1],
+        jreg[1:2],
+        jnp.asarray(rois)[None],
+        method="c_tracker",
+    )
+
+    tol = dict(rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(jo), to.numpy(), err_msg="rpn o_hat", **tol)
+    np.testing.assert_allclose(np.asarray(jb), tb.numpy(), err_msg="rpn b_hat", **tol)
+    np.testing.assert_allclose(
+        np.asarray(jreg).transpose(0, 3, 1, 2), treg.numpy(), err_msg="rpn fm_reg", **tol
+    )
+    np.testing.assert_allclose(
+        np.asarray(jc_hat)[0], tc_hat, err_msg="rcnn confs", **tol
+    )
+    np.testing.assert_allclose(
+        np.asarray(jb_hat)[0], tb_hat, err_msg="rcnn offsets", **tol
+    )
+    np.testing.assert_allclose(
+        np.asarray(jt_hat)[0], tt_hat, err_msg="tracker t_hat", **tol
+    )
