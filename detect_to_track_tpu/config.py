@@ -78,9 +78,15 @@ class Config:
     # so results are unchanged for instances within capacity.
     # =====================================================================
     MAX_LABELS: int = 32  # per-frame ground-truth object capacity
-    PRE_NMS_TOPK: int = 1024  # proposals entering on-device NMS
-    MAX_ROIS: int = 256  # proposals surviving NMS -> RCNN (train + eval)
-    MAX_TRACKS: int = 32  # cross-frame matched objects (== MAX_LABELS usually)
+    # proposals entering on-device NMS. None (default) honors the reference's
+    # capacity keys: TRAIN_MAX_ROIS for training, EVAL_MAX_ROIS for eval
+    # (the reference applies MaxDetFilter(max_rois) BEFORE NMS, reference
+    # trainer.py:98-102 / inference.py:37-41), rounded up to a lane multiple
+    # and capped at |A|. Set explicitly to trade recall for speed.
+    PRE_NMS_TOPK: Optional[int] = None
+    MAX_ROIS: int = 256  # NMS survivors entering RCNN (static cap; the
+    # reference keeps ALL survivors -- see DESIGN.md "ROI capacity" for the
+    # survivor-count measurement justifying this bound)
     MAX_DETS: int = 128  # final detections per frame after RCNN filtering
 
     # quirk flags: the reference has documented bugs/quirks; each can be
@@ -126,6 +132,21 @@ class Config:
     def n_anchors(self) -> int:
         fh, fw = self.fm_shape
         return fh * fw * self.n_anchors_per_cell
+
+    def _derived_topk(self, max_rois: int) -> int:
+        if self.PRE_NMS_TOPK is not None:
+            return min(self.PRE_NMS_TOPK, self.n_anchors)
+        return min(-(-max_rois // 128) * 128, self.n_anchors)
+
+    @property
+    def pre_nms_topk_train(self) -> int:
+        """proposals entering NMS during training (honors TRAIN_MAX_ROIS)."""
+        return self._derived_topk(self.TRAIN_MAX_ROIS)
+
+    @property
+    def pre_nms_topk_eval(self) -> int:
+        """proposals entering NMS at inference (honors EVAL_MAX_ROIS)."""
+        return self._derived_topk(self.EVAL_MAX_ROIS)
 
     def replace(self, **kwargs) -> "Config":
         return dataclasses.replace(self, **kwargs)

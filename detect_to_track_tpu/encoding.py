@@ -55,10 +55,24 @@ def frcnn_box_encode(anchors, boxes, xp=jnp):
     return xp.concatenate([t_ij, t_hw], axis=-1)
 
 
-def frcnn_box_decode(anchors, offsets, xp=jnp):
-    """inverse of frcnn_box_encode (reference encoding.py:182-206)."""
+# max log-scale offset fed to exp() during decode. The reference decodes
+# with an unclamped exp (encoding.py:182-206), so an untrained head or a
+# garbage padding slot can produce inf/NaN boxes that poison downstream
+# IoU/NMS keep-masks. log(1000/16) is the standard Faster-RCNN transform
+# clip; no real target ever approaches it (62x anchor scale).
+BBOX_XFORM_CLIP = float(np.log(1000.0 / 16.0))
+
+
+def frcnn_box_decode(anchors, offsets, xp=jnp, clip=BBOX_XFORM_CLIP):
+    """inverse of frcnn_box_encode (reference encoding.py:182-206).
+
+    Deviation from the reference: t_hw is clamped to +/-`clip` before exp so
+    decoded boxes are always finite (pass clip=None for the raw inverse).
+    """
     a_ij, a_hw = anchors[..., :2], anchors[..., 2:]
     t_ij, t_hw = offsets[..., :2], offsets[..., 2:]
+    if clip is not None:
+        t_hw = xp.clip(t_hw, -clip, clip)
     b_ij = t_ij * a_hw + a_ij
     b_hw = xp.exp(t_hw) * a_hw
     return xp.concatenate([b_ij, b_hw], axis=-1)

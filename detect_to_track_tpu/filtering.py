@@ -7,7 +7,7 @@ PredictionFilterPipeline, ConfidenceFilter, MaxDetFilter, NMSFilter.
 Each filter maps (confs, boxes) -> (confs, boxes) on numpy arrays. The
 production inference path filters ON DEVICE (ops/nms.py); this module exists
 for API compatibility, host-side tooling, and as the parity oracle for the
-on-device pipeline (tests/test_nms.py).
+on-device pipeline (tests/test_inference.py).
 """
 
 from __future__ import annotations

@@ -72,7 +72,7 @@ def detect_pairs_batched(
     props = batched_proposal_filter(
         scores,
         rboxes,
-        cfg.PRE_NMS_TOPK,
+        cfg.pre_nms_topk_eval,
         cfg.EVAL_ROI_CONF_THRESH,
         cfg.EVAL_NMS_IOU_THRESH,
         cfg.MAX_ROIS,
@@ -168,7 +168,7 @@ def detect_clip(
     props = batched_proposal_filter(
         o_hat[:, :, 1],
         rboxes,
-        cfg.PRE_NMS_TOPK,
+        cfg.pre_nms_topk_eval,
         cfg.EVAL_ROI_CONF_THRESH,
         cfg.EVAL_NMS_IOU_THRESH,
         cfg.MAX_ROIS,

@@ -60,6 +60,17 @@ def nms_mask(
 ) -> jnp.ndarray:
     """exact greedy NMS keep-mask over score-DESCENDING candidates.
 
+    Greedy NMS keeps i iff valid[i] and no kept higher-priority j overlaps
+    it -- a recursion that is well-founded by index order. Instead of the
+    textbook O(k) sequential scan (k = 3072 at the reference working point,
+    a serial fori_loop being the slowest thing a TPU can do), iterate the
+    whole-vector operator
+        F(keep)[i] = valid[i] & ~any_{j<i}(keep[j] & overlaps[j, i])
+    from keep = valid. After t iterations every index whose suppression-
+    chain depth is <= t has its final value, so the fixed point IS the
+    greedy result; chains are short in practice (<~15 at the working point)
+    and each iteration is one (k, k) masked any-reduction on the VPU.
+
     Args:
         boxes: (k, 4) ijhw boxes sorted by descending score.
         valid: (k,) bool.
@@ -70,17 +81,20 @@ def nms_mask(
     k = boxes.shape[0]
     overlaps = compute_ious(boxes, boxes) > iou_thresh  # (k, k)
     order = jnp.arange(k)
+    # suppressor must be strictly higher priority (lower index).
+    sup = overlaps & (order[:, None] < order[None, :])  # (k, k) j -> i
 
-    def body(i, state):
-        keep, suppressed = state
-        keep_i = valid[i] & ~suppressed[i]
-        keep = keep.at[i].set(keep_i)
-        # a kept box suppresses all LOWER-priority overlapping boxes.
-        suppressed = suppressed | (keep_i & overlaps[i] & (order > i))
-        return keep, suppressed
+    def cond(state):
+        keep, prev, it = state
+        return (it < k) & jnp.any(keep != prev)
 
-    keep, _ = jax.lax.fori_loop(
-        0, k, body, (jnp.zeros(k, bool), jnp.zeros(k, bool))
+    def body(state):
+        keep, _, it = state
+        new = valid & ~jnp.any(keep[:, None] & sup, axis=0)
+        return new, keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (valid, jnp.zeros_like(valid), jnp.zeros((), jnp.int32))
     )
     return keep
 

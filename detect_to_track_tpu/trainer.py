@@ -119,7 +119,7 @@ def forward_losses(
     props = batched_proposal_filter(
         scores,
         rboxes,
-        cfg.PRE_NMS_TOPK,
+        cfg.pre_nms_topk_train,
         cfg.TRAIN_ROI_CONF_THRESH,
         cfg.TRAIN_NMS_IOU_THRESH,
         cfg.MAX_ROIS,
@@ -319,11 +319,15 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     sentinel = object()
 
     def producer():
+        # a crash in decode/packing must abort training with the original
+        # traceback, not silently end the epoch: ship the exception to the
+        # consumer and re-raise it there.
         try:
             for item in iterator:
                 q.put(item)
-        finally:
             q.put(sentinel)
+        except BaseException as e:  # noqa: BLE001 - relayed, not swallowed
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -331,6 +335,8 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
         item = q.get()
         if item is sentinel:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 
@@ -436,12 +442,31 @@ class DetectTrackTrainer:
             trace_ctx = jax.profiler.trace(self.cfg.PROFILE_DIR)
             trace_ctx.__enter__()
         try:
+            window = DTLoss()
             for batch in prefetch(iter(self.trn_loader)):
+                # NAN_POLICY="skip" rolls back to the pre-step state when the
+                # step's loss is non-finite, so one bad batch cannot poison
+                # the params; only then is the extra state reference held.
+                prev = self.state if self.cfg.NAN_POLICY == "skip" else None
                 self.state, dtl = self._train_step(self.state, batch)
                 dtl = jax.device_get(dtl)
-                self._check_finite(dtl)
+                if not self._check_finite(dtl) and prev is not None:
+                    self.state = prev
+                    continue
                 trn_loss = trn_loss + dtl
+                window = window + dtl
                 self.n_iters += self.cfg.BATCH_SIZE
+                if (
+                    self.cfg.LOG_EVERY
+                    and float(window.count) >= self.cfg.LOG_EVERY
+                ):
+                    c = float(window.count)
+                    self.logger(
+                        {f"itr_{k}": float(v) / c
+                         for k, v in window.asdict().items()}
+                        | {"iter": self.n_iters}
+                    )
+                    window = DTLoss()
                 if self.n_iters >= self._max_iters:
                     break  # stop mid-epoch too (smoke runs, budget caps)
         finally:
@@ -449,16 +474,21 @@ class DetectTrackTrainer:
                 trace_ctx.__exit__(None, None, None)
         return trn_loss
 
-    def _check_finite(self, dtl: DTLoss) -> None:
+    def _check_finite(self, dtl: DTLoss) -> bool:
         """failure detection (the reference has none, SURVEY.md §5): act on
-        non-finite losses per cfg.NAN_POLICY."""
+        non-finite losses per cfg.NAN_POLICY ("raise" aborts, "warn" logs and
+        keeps the update, "skip" logs and tells the caller to roll back).
+
+        Returns True if the losses are finite."""
         vals = [float(v) for v in (dtl.o, dtl.b_rpn, dtl.c, dtl.b_rcnn, dtl.t)]
         if all(np.isfinite(v) for v in vals):
-            return
+            return True
         msg = f"non-finite loss at iter {self.n_iters}: {dtl!r}"
         if self.cfg.NAN_POLICY == "raise":
             raise FloatingPointError(msg)
-        print(f"WARNING: {msg}")
+        action = "skipping update" if self.cfg.NAN_POLICY == "skip" else "continuing"
+        print(f"WARNING: {msg} ({action})")
+        return False
 
     def validate(self) -> DTLoss:
         val_loss = DTLoss()
@@ -538,15 +568,26 @@ class DetectTrackTrainer:
 
     def checkpoint(self, path: Optional[str] = None) -> None:
         """save params + optimizer state + step (the reference saves only
-        model weights, trainer.py:358)."""
+        model weights, trainer.py:358). The default path keeps a rotating
+        step-tagged history of the last cfg.CHECKPOINT_KEEP saves next to
+        the latest-best `ckpt` dir."""
+        import shutil
+
         import orbax.checkpoint as ocp
 
+        default = path is None
         path = Path(path or self.output_dir / "ckpt").absolute()
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(
-            path, jax.device_get(self.state), force=True
-        )
+        ckptr.save(path, jax.device_get(self.state), force=True)
         ckptr.wait_until_finished()
+
+        if default and self.cfg.CHECKPOINT_KEEP > 0:
+            hist = path.parent / f"ckpt_step_{int(self.state.step):08d}"
+            if not hist.exists():
+                shutil.copytree(path, hist)
+            old = sorted(path.parent.glob("ckpt_step_*"))
+            for p in old[: -self.cfg.CHECKPOINT_KEEP]:
+                shutil.rmtree(p)
 
     def restore(self, path: Optional[str] = None) -> None:
         import orbax.checkpoint as ocp

