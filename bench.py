@@ -135,6 +135,17 @@ def main() -> None:
     tracker(clip)
     clip_fps = len(clip) / (time.perf_counter() - t0)
 
+    # device-side-only clip rate (window pre-uploaded): separates the jitted
+    # per-chunk compute from the tunnel's host->device frame uploads.
+    window = jax.device_put(np.stack(clip[:4]))
+    out = detector.detect_clip(window)
+    jax.block_until_ready(out.boxes)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = detector.detect_clip(window)
+        jax.block_until_ready(out.boxes)
+    clip_device_fps = 5 * 4 / (time.perf_counter() - t0)
+
     # baseline ratio: previous recorded round, if any
     prev = None
     for path in sorted(glob.glob("BENCH_r*.json")):
@@ -155,6 +166,7 @@ def main() -> None:
                 "vs_baseline": round(vs, 3),
                 "inference_pairs_per_sec": round(infer_pairs_per_sec, 3),
                 "clip_tracking_fps": round(clip_fps, 3),
+                "clip_device_fps": round(clip_device_fps, 3),
                 "correlation_fwd_ms_c4": round(corr_ms, 4),
                 "device": str(jax.devices()[0]),
                 "config": "608x1200 resnet50 b4 bf16 d_max=8 k=7",

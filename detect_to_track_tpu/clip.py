@@ -68,8 +68,20 @@ class ClipTracker:
         # chunks share one frame so every adjacent pair gets a track. The
         # final chunk is aligned to end exactly at the last frame.
         starts = list(range(0, n - chunk, chunk - 1)) + [n - chunk]
-        for s in starts:
-            window = np.stack(arrs[s : s + chunk])
+
+        # double-buffered uploads: jax.device_put is async, so the NEXT
+        # window's host->device transfer rides the tunnel while the CURRENT
+        # window computes (uploads dominate clip fps through the tunnel).
+        import jax
+
+        def upload(s):
+            return jax.device_put(np.stack(arrs[s : s + chunk]))
+
+        pending = upload(starts[0])
+        for si, s in enumerate(starts):
+            window = pending
+            if si + 1 < len(starts):
+                pending = upload(starts[si + 1])
             out = self.detector.detect_clip(window)
             confs = np.asarray(out.confs)  # (F, D, C+1)
             boxes = np.asarray(out.boxes)

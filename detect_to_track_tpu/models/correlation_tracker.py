@@ -15,8 +15,20 @@ detect_to_track/models/correlation_tracker.py:13-87:
   (correlation_tracker.py:82-86). fc_channels =
   (3*(2d+1)^2 + 2*reg_channels) * r_hw^2 (= 92,659 at defaults).
 
-TPU re-design: batched over frame pairs; correlation via the Pallas kernel;
-pooling via summed-area tables.
+TPU re-design: batched over frame pairs; correlation via the Pallas kernel.
+
+The head is algebraically REORDERED (fused_head=True, default): both the
+bin average and the Linear are linear maps, so the fc weight contracts into
+the feature pyramid FIRST -- per channel group g (no concat materialized):
+    G[h,w,i,j,o] += FM_g[h,w,c] . W_g[c,i,j,o]
+then ops.roi_pool_linear applies the per-roi bin masks to the tiny G
+(38x75x7x7x4) instead of ROI-pooling a 2602-channel map (which costs a
+~700 MB mask-matmul intermediate, a ~260 MB pooled tensor and ~8x the
+FLOPs). Correlation volumes enter in the kernel's native (K2, H, W) layout,
+skipping a 14 MB transpose per scale each direction. Same math, same
+params, same converted weights; fused_head=False keeps the materialized
+reference-shaped path as the equivalence oracle
+(tests/test_models.py::test_tracker_fused_head_matches_materialized).
 """
 
 from __future__ import annotations
@@ -28,6 +40,25 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import pointwise_correlation, roi_pool
+from ..ops.pooling import roi_pool_linear
+
+
+class _FCParams(nn.Module):
+    """bare Linear params with nn.Dense's layout/init, so both head paths
+    share one param pytree (c_tracker/reg_fc/{kernel,bias})."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
 
 
 class CorrelationTracker(nn.Module):
@@ -37,6 +68,7 @@ class CorrelationTracker(nn.Module):
         reg_channels: RPN feature channels (512).
         stride: correlation stride.
         corr_impl / corr_interpret: forwarded to ops.pointwise_correlation.
+        fused_head: reordered pool/fc contraction (see module docstring).
     """
 
     d_max: int = 8
@@ -45,6 +77,7 @@ class CorrelationTracker(nn.Module):
     stride: int = 1
     corr_impl: str = "auto"
     corr_interpret: bool = False
+    fused_head: bool = True
     dtype: Any = jnp.float32
 
     @property
@@ -72,42 +105,87 @@ class CorrelationTracker(nn.Module):
             t_hat: (B, R, 4) predicted frame-0 -> frame-1 box transforms.
         """
         k2 = (2 * self.d_max + 1) ** 2
+        khw = self.r_hw
+        kernel, bias = _FCParams(4, self.fc_channels, name="reg_fc")()
 
-        def corr(a, b):
-            out = pointwise_correlation(
+        def corr(a, b, layout):
+            return pointwise_correlation(
                 a,
                 b,
                 self.d_max,
                 self.stride,
                 impl=self.corr_impl,
                 interpret=self.corr_interpret,
-            )  # (B, H, W, 2d+1, 2d+1)
-            return out.reshape(*out.shape[:3], k2)
+                layout=layout,
+            )
 
         # nearest-neighbor 1/2 downsample of c3 (torch interpolate default).
         c3_0 = fm_pyr_0["c3"][:, ::2, ::2, :]
         c3_1 = fm_pyr_1["c3"][:, ::2, ::2, :]
 
-        feats = jnp.concatenate(
-            [
-                reg_fm_0,
-                reg_fm_1,
-                corr(c3_0, c3_1),
-                corr(fm_pyr_0["c4"], fm_pyr_1["c4"]),
-                corr(fm_pyr_0["c5"], fm_pyr_1["c5"]),
-            ],
-            axis=-1,
-        )  # (B, H, W, 2*Cr + 3*(2d+1)^2)
+        if not self.fused_head:
+            # materialized reference-shaped path (equivalence oracle).
+            def corr_flat(a, b):
+                out = corr(a, b, "nhwkk")
+                return out.reshape(*out.shape[:3], k2)
 
-        pooled = jax.vmap(lambda fm, r: roi_pool(fm, r, self.r_hw))(
-            feats, rois
-        )  # (B, R, k, k, C)
-        b, r = pooled.shape[:2]
-        # flatten in the reference's (C, k, k) order so converted Linear
-        # weights line up (correlation_tracker.py:83).
-        pooled = jnp.transpose(pooled, (0, 1, 4, 2, 3)).reshape(b, r, -1)
+            feats = jnp.concatenate(
+                [
+                    reg_fm_0,
+                    reg_fm_1,
+                    corr_flat(c3_0, c3_1),
+                    corr_flat(fm_pyr_0["c4"], fm_pyr_1["c4"]),
+                    corr_flat(fm_pyr_0["c5"], fm_pyr_1["c5"]),
+                ],
+                axis=-1,
+            )  # (B, H, W, 2*Cr + 3*(2d+1)^2)
+            pooled = jax.vmap(lambda fm, r: roi_pool(fm, r, khw))(feats, rois)
+            b, r = pooled.shape[:2]
+            # flatten in the reference's (C, k, k) order so converted Linear
+            # weights line up (correlation_tracker.py:83).
+            pooled = jnp.transpose(pooled, (0, 1, 4, 2, 3)).reshape(b, r, -1)
+            t_hat = (
+                pooled.astype(self.dtype) @ kernel.astype(self.dtype)
+                + bias.astype(self.dtype)
+            )
+            return t_hat.astype(jnp.float32)
 
-        t_hat = nn.Dense(4, dtype=self.dtype, name="reg_fc")(
-            pooled.astype(self.dtype)
-        )
-        return t_hat.astype(jnp.float32)
+        # fused head: contract the fc weight into each channel group of the
+        # (never materialized) concat. kernel rows are (C_total, k, k)-major,
+        # so group c0's block is kernel[c0*k^2 : (c0+C_g)*k^2].
+        cr = self.reg_channels
+        f32 = self.dtype == jnp.float32
+        prec = jax.lax.Precision.HIGHEST if f32 else jax.lax.Precision.DEFAULT
+
+        def wslice(c0, c_g):
+            w = kernel[c0 * khw * khw : (c0 + c_g) * khw * khw]
+            return w.reshape(c_g, khw, khw, 4).astype(self.dtype)
+
+        def proj_nhwc(fm, c0):
+            return jnp.einsum(
+                "bhwc,cijo->bhwijo",
+                fm.astype(self.dtype),
+                wslice(c0, fm.shape[-1]),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            )
+
+        def proj_corr(a, b, c0):
+            vol = corr(a, b, "k2hw")  # (B, K2, H, W) f32, kernel-native
+            return jnp.einsum(
+                "bphw,pijo->bhwijo",
+                vol.astype(self.dtype),
+                wslice(c0, k2),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            )
+
+        g = proj_nhwc(reg_fm_0, 0)
+        g += proj_nhwc(reg_fm_1, cr)
+        g += proj_corr(c3_0, c3_1, 2 * cr)
+        g += proj_corr(fm_pyr_0["c4"], fm_pyr_1["c4"], 2 * cr + k2)
+        g += proj_corr(fm_pyr_0["c5"], fm_pyr_1["c5"], 2 * cr + 2 * k2)
+        # g: (B, H, W, k, k, 4) f32 -- the fc-projected pyramid.
+
+        t_hat = jax.vmap(lambda gm, r: roi_pool_linear(gm, r, khw))(g, rois)
+        return (t_hat + bias.astype(jnp.float32)).astype(jnp.float32)

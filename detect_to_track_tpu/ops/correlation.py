@@ -245,9 +245,17 @@ def _bwd_fm1_kernel(
 ):
     """dFM1[p,q,:] = sum_planes g[p-oi, q-oj, plane] * FM0[p-oi, q-oj, :].
 
-    Gather formulation of the reference's atomicAdd scatter
-    (pointwise_correlation_cuda.cu:169): each dFM1 element sums over the
-    displacement window that references it.
+    Source-centric banded-matmul form of the reference's atomicAdd scatter
+    (pointwise_correlation_cuda.cu:169), generalized to multiple row tiles
+    with halo'd source windows: for each row displacement di, the SOURCE
+    rows whose targets land in this tile are exactly the halo slice
+    [2d - di, 2d - di + th) (target p = i + di - d), so this di's gradient
+    planes scatter into a banded matrix Gb[t, j, v] (v = j + dj = target
+    col + d), ONE MXU matmul contracts the source column j against FM0, and
+    the central w columns accumulate straight into the output block -- no
+    apron, no (2d)^2 unrolled displacement products (the old form's
+    statically-unrolled 256-term loop at d_max=8 spilled registers and
+    forced tiny tiles).
     """
     b = pl.program_id(0)
     hi = pl.program_id(1)
@@ -291,30 +299,41 @@ def _bwd_fm1_kernel(
     cp_f.wait()
 
     h0 = hi * th
+    w2d8 = _round_up(w + 2 * d_max, 8)
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (w, w2d8), 0)
+    vcol = jax.lax.broadcasted_iota(jnp.int32, (w, w2d8), 1)
 
-    # all indices here touch tiled dims, so both displacement loops are
-    # statically unrolled ((2d)^2 iterations); accumulation goes straight
-    # into the VMEM output block so per-iteration temporaries stay dead.
+    # di is statically unrolled: the slice offset 2d - di lands on TILED
+    # scratch dims (sublane rows), where dynamic unaligned offsets are not
+    # supported -- but the expensive op (the matmul) runs once per di
+    # (2d total), not once per (di, dj) pair like the old 256-term unroll.
     for di in range(2 * d_max):
+        # source rows for this di: halo rows [2d - di, 2d - di + th).
+        r0 = 2 * d_max - di
+        f0 = f_halo[r0 : r0 + th, d_max : d_max + w, :]  # (TH, W, CB) source
+        rmask = None
+        if stride > 1:
+            # mask at the source row i = h0 - d + (2d - di) + t = h0+d-di+t
+            rmask = _row_mask(h0 + d_max - di, th, h, di - d_max, d_max, stride)
+        gb = jnp.zeros((th, w, w2d8), jnp.float32)
         for dj in range(2 * d_max):
-            plane = di * k + dj
-            # source pixel (i, j) = (p - oi, q - oj); in halo coordinates
-            # the window starts at 2d - di rows / 2d - dj cols (zero padding
-            # covers out-of-image sources).
-            g = g_halo[plane, 2 * d_max - di : 2 * d_max - di + th,
-                       2 * d_max - dj : 2 * d_max - dj + w]
-            g = g.astype(jnp.float32)
-            f0 = f_halo[2 * d_max - di : 2 * d_max - di + th,
-                        2 * d_max - dj : 2 * d_max - dj + w, :]
-            f0 = f0.astype(jnp.float32)
+            g = g_halo[di * k + dj, r0 : r0 + th, d_max : d_max + w]
+            g = g.astype(jnp.float32)  # (TH, W) at source rows/cols
             if stride > 1:
-                # masks are evaluated at the SOURCE pixel i = p - oi: shift
-                # the mask origin by d_max - di rows.
-                g = g * _row_mask(
-                    h0 + d_max - di, th, h, di - d_max, d_max, stride
-                )
-                g = g * _col_mask_shift(w, dj, d_max, stride)
-            out_ref[0] += g[:, :, None] * f0
+                g = g * rmask
+                g = g * _col_mask(w, dj - d_max, d_max, stride)
+            gb = gb + jnp.where((vcol == jrow + dj)[None], g[:, :, None], 0.0)
+        bf16 = f0.dtype == jnp.bfloat16
+        contrib = jax.lax.dot_general(
+            gb.astype(f0.dtype) if bf16 else gb,
+            f0 if bf16 else f0.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=(
+                jax.lax.Precision.DEFAULT if bf16 else jax.lax.Precision.HIGHEST
+            ),
+        )  # (TH, V, CB); target row p - tile_origin = t, target col q = v - d
+        out_ref[0] += contrib[:, d_max : d_max + w, :]
 
 
 def _bwd_fm1_single_tile_kernel(
@@ -377,17 +396,6 @@ def _bwd_fm1_single_tile_kernel(
 
     jax.lax.fori_loop(0, 2 * d_max, body, 0)
     out_ref[0] = acc[pl.ds(d_max, th), pl.ds(d_max, w), :].astype(out_ref.dtype)
-
-
-def _col_mask_shift(size: int, dj: int, d_max: int, stride: int):
-    """column mask for _bwd_fm1_kernel evaluated at source col j = q - oj."""
-    q = jax.lax.broadcasted_iota(jnp.int32, (1, size), 1)
-    j = q - (dj - d_max)
-    target = j + (dj - d_max)  # == q
-    in_range = (j >= 0) & (j < size) & (target < j + d_max)
-    start = jnp.maximum(0, j - d_max)
-    on_phase = (target - start) % stride == 0
-    return (in_range & on_phase).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -477,18 +485,16 @@ def _corr_fwd_pallas(fm0, fm1, d_max, stride, interpret):
         interpret=interpret,
     )(fm0_p, fm1_p)
 
-    out = out[:, :, :h, :]  # (B, K2, H, W)
-    return jnp.transpose(out, (0, 2, 3, 1)).reshape(b, h, w, k, k)
+    return out[:, :, :h, :]  # (B, K2, H, W) -- the kernel's native layout
 
 
 def _corr_bwd_pallas(fm0, fm1, g, d_max, stride, interpret):
+    """g arrives in the kernel's native (B, K2, H, W) layout."""
     b, h, w, c = fm0.shape
     k = 2 * d_max + 1
     tile_h, hp, c_blk, cp, grid, w8, w128 = _plan(b, h, w, c, d_max)
 
-    g = jnp.transpose(
-        g.reshape(b, h, w, k * k).astype(jnp.float32), (0, 3, 1, 2)
-    )  # (B, K2, H, W)
+    g = g.astype(jnp.float32)
     g_tiles = _pad_to(g, hp, w, h_axis=2, w_axis=3)
 
     fm1_p = jnp.pad(
@@ -566,11 +572,10 @@ def _corr_bwd_pallas(fm0, fm1, g, d_max, stride, interpret):
         dfm1 = dfm1[:, :h, :, :c].astype(fm1.dtype)
         return dfm0, dfm1
 
-    # general path (H spans several tiles): the halo'd dfm1 kernel statically
-    # unrolls BOTH displacement loops (its slices all touch tiled dims), so
-    # it runs with its own SMALL row tile and channel block -- big tiles
-    # multiply the unrolled live state and spill registers past VMEM.
-    tile_b = min(8, tile_h)
+    # general path (H spans several tiles): the halo'd banded-matmul dfm1
+    # kernel -- one MXU contraction per row displacement over halo'd source
+    # windows. Row tiles are bounded by the f32 gb/contrib temporaries.
+    tile_b = min(32, tile_h)
     c_blk_b = min(256, c_blk)
     hp_b = _round_up(h, tile_b)
     grid_b = (b, hp_b // tile_b, cp // c_blk_b)
@@ -652,6 +657,7 @@ def pointwise_correlation(
     stride: int = 1,
     impl: str = "auto",
     interpret: bool = False,
+    layout: str = "nhwkk",
 ) -> jnp.ndarray:
     """pointwise local correlation between two feature maps.
 
@@ -661,12 +667,33 @@ def pointwise_correlation(
         stride: displacement stride.
         impl: "pallas" | "xla" | "auto" (pallas on TPU backends).
         interpret: run the Pallas kernels in interpreter mode (CPU testing).
+        layout: "nhwkk" -> (B, H, W, 2d+1, 2d+1) (reference layout);
+            "k2hw" -> (B, (2d+1)^2, H, W), the Pallas kernel's NATIVE layout
+            -- consumers that contract the displacement dim (the tracker's
+            fused head) take this to skip a 14 MB transpose per scale in
+            BOTH directions.
 
     Returns:
-        out: (B, H, W, 2*d_max+1, 2*d_max+1) f32 correlation volumes.
+        out: f32 correlation volumes in the requested layout.
     """
+    if fm0.dtype != fm1.dtype:
+        raise ValueError(
+            f"fm0/fm1 dtype mismatch: {fm0.dtype} vs {fm1.dtype} (the halo "
+            "DMAs and MXU contractions require one compute dtype)"
+        )
+    if layout not in ("nhwkk", "k2hw"):
+        raise ValueError(f"unknown layout {layout!r}")
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    k = 2 * d_max + 1
     if impl == "xla":
-        return pointwise_correlation_ref(fm0, fm1, d_max, stride)
-    return _corr_pallas(fm0, fm1, d_max, stride, interpret)
+        out = pointwise_correlation_ref(fm0, fm1, d_max, stride)
+        if layout == "k2hw":
+            b, h, w = out.shape[:3]
+            out = jnp.transpose(out.reshape(b, h, w, k * k), (0, 3, 1, 2))
+        return out
+    out = _corr_pallas(fm0, fm1, d_max, stride, interpret)  # (B, K2, H, W)
+    if layout == "nhwkk":
+        b, _, h, w = out.shape
+        out = jnp.transpose(out, (0, 2, 3, 1)).reshape(b, h, w, k, k)
+    return out

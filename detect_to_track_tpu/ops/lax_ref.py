@@ -51,10 +51,17 @@ def _bin_bounds(rois, r_hw: int, fm_h: int, fm_w: int, clamp_corner: bool):
     b_i = top[:, None] + steps[None, :] * b_h  # (|R|, k) bin centers
     b_j = left[:, None] + steps[None, :] * b_w
 
-    i0 = jnp.floor(jnp.clip(b_i - b_h / 2, 0.0, 1.0) * fm_h).astype(jnp.int32)
-    i1 = jnp.ceil(jnp.clip(b_i + b_h / 2, 0.0, 1.0) * fm_h).astype(jnp.int32)
-    j0 = jnp.floor(jnp.clip(b_j - b_w / 2, 0.0, 1.0) * fm_w).astype(jnp.int32)
-    j1 = jnp.ceil(jnp.clip(b_j + b_w / 2, 0.0, 1.0) * fm_w).astype(jnp.int32)
+    # epsilon-robust floor/ceil: a bin edge landing EXACTLY on a pixel
+    # boundary (e.g. 0.25 * 8 = 2.0) is 1-ulp unstable under XLA fusion --
+    # the same expression gave ceil=2 eagerly and ceil=3 jitted. Nudging by
+    # eps makes knife-edge bins deterministic; eps is far below any real
+    # geometry difference (the CUDA reference is equally arbitrary at these
+    # edges, roipool_cuda.cu:38-50).
+    eps = 1e-5
+    i0 = jnp.floor(jnp.clip(b_i - b_h / 2, 0.0, 1.0) * fm_h + eps).astype(jnp.int32)
+    i1 = jnp.ceil(jnp.clip(b_i + b_h / 2, 0.0, 1.0) * fm_h - eps).astype(jnp.int32)
+    j0 = jnp.floor(jnp.clip(b_j - b_w / 2, 0.0, 1.0) * fm_w + eps).astype(jnp.int32)
+    j1 = jnp.ceil(jnp.clip(b_j + b_w / 2, 0.0, 1.0) * fm_w - eps).astype(jnp.int32)
     return i0, i1, j0, j1
 
 

@@ -113,6 +113,39 @@ def roi_pool(
     return _roi_pool_einsum(fm, rois, r_hw)
 
 
+def roi_pool_linear(g: jnp.ndarray, rois: jnp.ndarray, r_hw: int) -> jnp.ndarray:
+    """ROI-pool a PRE-PROJECTED map: the exact reordering of
+    `flatten(roi_pool(fm, rois, k), (C,k,k)-order) @ W` with
+    `g[h,w,i,j,o] = sum_c fm[h,w,c] * W[c*k*k + i*k + j, o]`.
+
+    Both the bin average and the linear head are linear, so the O(C)-wide
+    channel dim contracts BEFORE pooling: at the tracker working point
+    (C=2602, R=256, k=7) this removes the (R,k,H,C) ~700 MB mask-matmul
+    intermediate and the (R,k,k,C) pooled tensor entirely -- intermediates
+    shrink to (R,W,k,k,O) ~15 MB and FLOPs drop ~8x. Bin geometry is
+    identical to roi_pool (corner-clamped; empty bins contribute 0).
+
+    Args:
+        g: (H, W, k, k, O) projected map.
+        rois: (|R|, 4) fractional ijhw rois.
+        r_hw: pooled height/width k.
+
+    Returns:
+        out: (|R|, O) == flatten(roi_pool(fm, rois, k)) @ W.
+    """
+    fm_h, fm_w = g.shape[:2]
+    i0, i1, j0, j1 = _bin_bounds(rois, r_hw, fm_h, fm_w, clamp_corner=True)
+    rmask = _range_masks(i0, i1, fm_h)  # (|R|, k, H)
+    cmask = _range_masks(j0, j1, fm_w)  # (|R|, k, W)
+
+    gf = g.astype(jnp.promote_types(g.dtype, jnp.float32))
+    t1 = jnp.einsum("rih,hwijo->rwijo", rmask, gf, precision=_PREC)
+    t2 = jnp.einsum("rjw,rwijo->rijo", cmask, t1, precision=_PREC)
+    numel = _bin_numel(i0, i1, j0, j1)[..., None]  # (|R|, k, k, 1)
+    per_bin = jnp.where(numel > 0, t2 / jnp.maximum(numel, 1.0), 0.0)
+    return per_bin.sum(axis=(1, 2))  # (|R|, O)
+
+
 def _ps_roi_pool_einsum(fm, rois, n_targets, r_hw, paper_layout):
     fm_h, fm_w, c = fm.shape
     i0, i1, j0, j1 = _bin_bounds(rois, r_hw, fm_h, fm_w, clamp_corner=False)

@@ -229,3 +229,55 @@ def test_detect_track_module_init(rng):
     assert fmaps["c3"].shape[1:3] == (8, 8)
     o, b, fm_reg = m.apply(variables, fmaps["c4"], method="rpn")
     assert o.shape[-1] == 2 and fm_reg.shape[-1] == 512
+
+
+def test_tracker_fused_head_matches_materialized(rng):
+    """the fused (fc-into-pyramid) head must reproduce the materialized
+    concat -> roi_pool -> flatten -> Linear reference path exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from detect_to_track_tpu.models.correlation_tracker import (
+        CorrelationTracker,
+    )
+
+    kw = dict(d_max=2, r_hw=3, reg_channels=8, corr_impl="xla")
+    fused = CorrelationTracker(fused_head=True, **kw)
+    mat = CorrelationTracker(fused_head=False, **kw)
+
+    b, h, w = 2, 8, 12
+    pyr0 = {
+        "c3": jnp.asarray(rng.rand(b, 2 * h, 2 * w, 8), jnp.float32),
+        "c4": jnp.asarray(rng.rand(b, h, w, 12), jnp.float32),
+        "c5": jnp.asarray(rng.rand(b, h, w, 16), jnp.float32),
+    }
+    pyr1 = {k: v + 0.1 for k, v in pyr0.items()}
+    reg0 = jnp.asarray(rng.rand(b, h, w, 8), jnp.float32)
+    reg1 = reg0 * 0.5
+    rois = jnp.asarray(
+        np.stack([np.full((5, 4), 0.4), np.full((5, 4), 0.3)]), jnp.float32
+    )
+
+    variables = fused.init(jax.random.PRNGKey(0), pyr0, pyr1, reg0, reg1, rois)
+    out_f = fused.apply(variables, pyr0, pyr1, reg0, reg1, rois)
+    out_m = mat.apply(variables, pyr0, pyr1, reg0, reg1, rois)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_m), rtol=2e-5, atol=2e-6
+    )
+
+    # gradients agree too (both heads train identically)
+    def loss(mod):
+        def f(params):
+            o = mod.apply({"params": params}, pyr0, pyr1, reg0, reg1, rois)
+            return jnp.sum(o**2)
+        return f
+
+    g_f = jax.grad(loss(fused))(variables["params"])
+    g_m = jax.grad(loss(mat))(variables["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        ),
+        g_f,
+        g_m,
+    )

@@ -140,3 +140,69 @@ def test_corr_pallas_multi_tile_height(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
         )
+
+
+def test_corr_pallas_multi_tile_dmax8(rng):
+    """the general (halo'd, banded-matmul) backward at the REAL displacement
+    (d_max=8) with H spanning several row tiles -- the configuration the c3
+    correlation hits at the working point (76x150 spans 2 tiles)."""
+    d_max = 8
+    fm0 = rng.rand(1, 48, 20, 8).astype(np.float32)
+    fm1 = rng.rand(1, 48, 20, 8).astype(np.float32)
+    ref = np.asarray(pointwise_correlation_ref(fm0, fm1, d_max, 1))
+    got = np.asarray(
+        pointwise_correlation(fm0, fm1, d_max, 1, impl="pallas", interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+    def loss(fn):
+        def f(a, b):
+            return (fn(a, b) ** 2).sum()
+        return f
+
+    g_ref = jax.grad(
+        loss(lambda a, b: pointwise_correlation_ref(a, b, d_max, 1)),
+        argnums=(0, 1),
+    )(fm0, fm1)
+    g_pal = jax.grad(
+        loss(
+            lambda a, b: pointwise_correlation(
+                a, b, d_max, 1, impl="pallas", interpret=True
+            )
+        ),
+        argnums=(0, 1),
+    )(fm0, fm1)
+    for a, b in zip(g_pal, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
+
+
+def test_corr_pallas_multi_tile_stride2(rng):
+    """stride masks through the general backward path (source-row mask
+    origins shift per displacement)."""
+    d_max = 3
+    fm0 = rng.rand(1, 44, 12, 4).astype(np.float32)
+    fm1 = rng.rand(1, 44, 12, 4).astype(np.float32)
+
+    def loss(fn):
+        def f(a, b):
+            return (fn(a, b) ** 2).sum()
+        return f
+
+    g_ref = jax.grad(
+        loss(lambda a, b: pointwise_correlation_ref(a, b, d_max, 2)),
+        argnums=(0, 1),
+    )(fm0, fm1)
+    g_pal = jax.grad(
+        loss(
+            lambda a, b: pointwise_correlation(
+                a, b, d_max, 2, impl="pallas", interpret=True
+            )
+        ),
+        argnums=(0, 1),
+    )(fm0, fm1)
+    for a, b in zip(g_pal, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
