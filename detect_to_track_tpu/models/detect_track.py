@@ -43,6 +43,7 @@ class DetectTrackModule(nn.Module):
     paper_channel_layout: bool = False
     corr_impl: str = "auto"
     corr_interpret: bool = False
+    tracker_fused_head: bool = True
     dtype: Any = jnp.float32
 
     # stage output channels (hardcoded in the reference too,
@@ -78,6 +79,7 @@ class DetectTrackModule(nn.Module):
             reg_channels=self.rpn_channels,
             corr_impl=self.corr_impl,
             corr_interpret=self.corr_interpret,
+            fused_head=self.tracker_fused_head,
             dtype=self.dtype,
             name="c_tracker",
         )
