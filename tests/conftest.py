@@ -25,3 +25,25 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+def pytest_collection_modifyitems(config, items):
+    """tag whole-graph integration files as `slow` so the fast unit core
+    (`pytest -m "not slow"`, ~3 min) works as a pre-commit gate; the full
+    suite compiles the joint train/inference graph repeatedly and takes
+    >10 CPU-minutes."""
+    slow_files = {
+        "test_train_step.py",
+        "test_trainer_multidevice.py",
+        "test_parallel.py",
+        "test_inference.py",
+        "test_batched_inference.py",
+        "test_config_and_dtypes.py",
+        "test_export.py",
+        "test_full_graph_parity.py",
+        "test_evaluation.py",
+        "test_diagnostics.py",
+    }
+    for item in items:
+        if item.fspath.basename in slow_files:
+            item.add_marker(pytest.mark.slow)
