@@ -29,6 +29,7 @@ from .config import Config
 from .encoding import frcnn_box_decode
 from .models import DetectTrackModule
 from .ops.nms import batched_proposal_filter
+from .utils import split_pairs
 
 
 class PairDetections(NamedTuple):
@@ -101,15 +102,17 @@ def detect_pairs_batched(
     confs, boxes, valid = jax.vmap(compact)(keep, fg_conf, c_hat, det_boxes)
 
     # tracker on frame-0 final boxes (reference inference.py:108-118).
-    pyr0 = {k: v[0::2] for k, v in fmaps.items()}
-    pyr1 = {k: v[1::2] for k, v in fmaps.items()}
+    # c3 downsampled at full batch BEFORE the split (see trainer.py note).
+    fmaps_t = {**fmaps, "c3": fmaps["c3"][:, ::2, ::2, :]}
+    split = {k: split_pairs(v) for k, v in fmaps_t.items()}
+    pyr0 = {k: v[0] for k, v in split.items()}
+    pyr1 = {k: v[1] for k, v in split.items()}
     tracks = model.apply(
         variables,
         pyr0,
         pyr1,
-        fm_reg[0::2],
-        fm_reg[1::2],
-        boxes[0::2],
+        *split_pairs(fm_reg),
+        split_pairs(boxes)[0],
         method="c_tracker",
     )  # (P, D, 4)
 
@@ -190,9 +193,11 @@ def detect_clip(
 
     confs, boxes, valid = jax.vmap(compact)(keep, fg_conf, c_hat, det_boxes)
 
-    # tracker over all adjacent pairs, sharing the per-frame features.
-    pyr0 = {k: v[:-1] for k, v in fmaps.items()}
-    pyr1 = {k: v[1:] for k, v in fmaps.items()}
+    # tracker over all adjacent pairs, sharing the per-frame features;
+    # c3 downsampled at full batch before the overlap slicing.
+    fmaps_t = {**fmaps, "c3": fmaps["c3"][:, ::2, ::2, :]}
+    pyr0 = {k: v[:-1] for k, v in fmaps_t.items()}
+    pyr1 = {k: v[1:] for k, v in fmaps_t.items()}
     tracks = model.apply(
         variables,
         pyr0,

@@ -120,8 +120,17 @@ class CorrelationTracker(nn.Module):
             )
 
         # nearest-neighbor 1/2 downsample of c3 (torch interpolate default).
-        c3_0 = fm_pyr_0["c3"][:, ::2, ::2, :]
-        c3_1 = fm_pyr_1["c3"][:, ::2, ::2, :]
+        # Callers SHOULD pass c3 already at c4's resolution (downsampled at
+        # full batch, before pair splitting): a pair-split followed by this
+        # spatial-stride-2 slice miscompiles on TPU at batch > 4 pairs (the
+        # device faults at runtime; bisected in round 2 -- either op alone
+        # is fine). Already-downsampled c3 is detected by shape and passed
+        # through.
+        if fm_pyr_0["c3"].shape[1:3] == fm_pyr_0["c4"].shape[1:3]:
+            c3_0, c3_1 = fm_pyr_0["c3"], fm_pyr_1["c3"]
+        else:
+            c3_0 = fm_pyr_0["c3"][:, ::2, ::2, :]
+            c3_1 = fm_pyr_1["c3"][:, ::2, ::2, :]
 
         if not self.fused_head:
             # materialized reference-shaped path (equivalence oracle).

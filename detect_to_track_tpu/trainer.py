@@ -51,7 +51,7 @@ from .inference import Detector
 from .losses import DTLoss, rcnn_loss, rpn_loss, track_loss
 from .models import DetectTrackModule, resnet_trainable_mask
 from .ops.nms import batched_proposal_filter
-from .utils import image_to_input
+from .utils import image_to_input, split_pairs
 
 
 class TrainState(struct.PyTreeNode):
@@ -163,14 +163,18 @@ def forward_losses(
         lbl.track_ids[:, 1],
         lbl.mask[:, 1],
     )  # rois (B, L, 4), t_star (B, L, 4), valid (B, L)
-    pyr0 = {k: v[0::2] for k, v in fmaps.items()}
-    pyr1 = {k: v[1::2] for k, v in fmaps.items()}
+    # c3 downsamples at FULL batch before the pair split: the split-then-
+    # stride-2-slice order faults the TPU at batch > 4 pairs (see
+    # correlation_tracker.py); the tracker passes pre-downsampled c3 through.
+    fmaps_t = {**fmaps, "c3": fmaps["c3"][:, ::2, ::2, :]}
+    split = {k: split_pairs(v) for k, v in fmaps_t.items()}
+    pyr0 = {k: v[0] for k, v in split.items()}
+    pyr1 = {k: v[1] for k, v in split.items()}
     t_hat = model.apply(
         variables,
         pyr0,
         pyr1,
-        fm_reg[0::2],
-        fm_reg[1::2],
+        *split_pairs(fm_reg),
         tt.rois,
         method="c_tracker",
     )  # (B, L, 4)

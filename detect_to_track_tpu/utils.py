@@ -41,3 +41,17 @@ def step_timer(store: dict, key: str) -> Iterator[None]:
     t0 = time.perf_counter()
     yield
     store[key] = store.get(key, 0.0) + time.perf_counter() - t0
+
+
+def split_pairs(x):
+    """(2B, ...) interleaved frame pairs -> ((B, ...), (B, ...)) via
+    reshape+index instead of x[0::2]/x[1::2].
+
+    Equivalent math, but a batch-stride-2 slice composed with the tracker's
+    spatial-stride-2 c3 downsample miscompiles on TPU at batch > 4 pairs
+    (the device faults at runtime; isolated by bisection -- either strided
+    slice alone is fine). The reshape groups adjacent frames without any
+    strided access, and is cheaper anyway.
+    """
+    r = x.reshape(x.shape[0] // 2, 2, *x.shape[1:])
+    return r[:, 0], r[:, 1]
