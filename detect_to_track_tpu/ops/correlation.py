@@ -118,32 +118,41 @@ def _fwd_kernel(
     jcol = jax.lax.broadcasted_iota(jnp.int32, (w, w8), 0)
     vcol = jax.lax.broadcasted_iota(jnp.int32, (w, w8), 1)
 
+    # extraction dtype: the diagonal "reduction" SELECTS one product per
+    # (t, j, dj) -- no accumulation -- so for bf16 features the whole
+    # extract runs in bf16 (half the VPU work; single final rounding, and
+    # the tracker's fused head casts volumes to bf16 immediately anyway).
+    bf16 = f0.dtype == jnp.bfloat16
+    ext_t = jnp.bfloat16 if bf16 else jnp.float32
+
     def body(di, _):
         rows = halo[pl.ds(di, tile_h)]  # (TH, W+2d pad, CB)
         m = jax.lax.dot_general(
             f0,
             rows,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            # Mosaic requires a 32-bit matmul accumulator; the bf16 path
+            # rounds once AFTER the dot so the 16 extraction passes below
+            # run at half the vreg width.
             preferred_element_type=jnp.float32,
-            # f32 inputs get full-precision passes (the MXU's default is
-            # bf16 passes, fine for bf16 training features).
             precision=(
-                jax.lax.Precision.HIGHEST
-                if f0.dtype == jnp.float32
-                else jax.lax.Precision.DEFAULT
+                jax.lax.Precision.DEFAULT if bf16 else jax.lax.Precision.HIGHEST
             ),
-        )  # (TH, W, W8)
+        ).astype(ext_t)  # (TH, W, W8)
         rmask = None
         if stride > 1:
             rmask = _row_mask(h0, tile_h, h, di - d_max, d_max, stride)
         for dj in range(2 * d_max):
+            # multiplicative band mask (a bf16 where() on an i1 mask hits a
+            # Mosaic relayout bug; multiply selects the same single element)
+            bm = (vcol == jcol + dj).astype(ext_t)  # (W, W8)
             diag = jnp.sum(
-                jnp.where((vcol == jcol + dj)[None], m, 0.0), axis=-1
+                m * bm[None], axis=-1, dtype=ext_t
             )  # (TH, W) == M[t, j, j+dj]
             if stride > 1:
-                diag = diag * rmask
-                diag = diag * _col_mask(w, dj - d_max, d_max, stride)
-            out_ref[0, di * k + dj] += diag
+                diag = diag * rmask.astype(ext_t)
+                diag = diag * _col_mask(w, dj - d_max, d_max, stride).astype(ext_t)
+            out_ref[0, di * k + dj] += diag.astype(jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, 2 * d_max, body, 0)
@@ -197,23 +206,27 @@ def _bwd_fm0_kernel(
     # displacement into a banded matrix Gb[t, j, v] (v = j + dj), then ONE
     # batched matmul against the halo rows contracts the band:
     #   dFM0[t, j, :] += sum_v Gb[t, j, v] * rows[t, v, :].
+    # banded scatter is pure placement (disjoint bands), so for bf16
+    # features gb builds directly in bf16: half the VPU work and no
+    # separate pre-matmul cast. f32 oracles keep the f32 build.
+    bf16 = fm1_ref.dtype == jnp.bfloat16
+    ext_t = jnp.bfloat16 if bf16 else jnp.float32
+
     def body(di, _):
         rows = halo[pl.ds(di, tile_h)]  # (TH, W8, CB)
         rmask = None
         if stride > 1:
             rmask = _row_mask(h0, tile_h, h, di - d_max, d_max, stride)
-        gb = jnp.zeros((tile_h, w, w8), jnp.float32)
+        gb = jnp.zeros((tile_h, w, w8), ext_t)
         for dj in range(2 * d_max):
             g = g_ref[0, di * k + dj].astype(jnp.float32)  # (TH, W)
             if stride > 1:
                 g = g * rmask
                 g = g * _col_mask(w, dj - d_max, d_max, stride)
-            gb = gb + jnp.where(
-                (vcol == jcol + dj)[None], g[:, :, None], 0.0
-            )
-        bf16 = rows.dtype == jnp.bfloat16
+            bm = (vcol == jcol + dj).astype(ext_t)  # (W, W8)
+            gb = gb + bm[None] * g[:, :, None].astype(ext_t)
         out_ref[0] += jax.lax.dot_general(
-            gb.astype(rows.dtype) if bf16 else gb,
+            gb,
             rows if bf16 else rows.astype(jnp.float32),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -307,6 +320,9 @@ def _bwd_fm1_kernel(
     # scratch dims (sublane rows), where dynamic unaligned offsets are not
     # supported -- but the expensive op (the matmul) runs once per di
     # (2d total), not once per (di, dj) pair like the old 256-term unroll.
+    bf16 = fm0_ref.dtype == jnp.bfloat16
+    ext_t = jnp.bfloat16 if bf16 else jnp.float32
+
     for di in range(2 * d_max):
         # source rows for this di: halo rows [2d - di, 2d - di + th).
         r0 = 2 * d_max - di
@@ -315,17 +331,17 @@ def _bwd_fm1_kernel(
         if stride > 1:
             # mask at the source row i = h0 - d + (2d - di) + t = h0+d-di+t
             rmask = _row_mask(h0 + d_max - di, th, h, di - d_max, d_max, stride)
-        gb = jnp.zeros((th, w, w2d8), jnp.float32)
+        gb = jnp.zeros((th, w, w2d8), ext_t)
         for dj in range(2 * d_max):
             g = g_halo[di * k + dj, r0 : r0 + th, d_max : d_max + w]
             g = g.astype(jnp.float32)  # (TH, W) at source rows/cols
             if stride > 1:
                 g = g * rmask
                 g = g * _col_mask(w, dj - d_max, d_max, stride)
-            gb = gb + jnp.where((vcol == jrow + dj)[None], g[:, :, None], 0.0)
-        bf16 = f0.dtype == jnp.bfloat16
+            bm = (vcol == jrow + dj).astype(ext_t)  # (W, W2D8)
+            gb = gb + bm[None] * g[:, :, None].astype(ext_t)
         contrib = jax.lax.dot_general(
-            gb.astype(f0.dtype) if bf16 else gb,
+            gb,
             f0 if bf16 else f0.astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -368,8 +384,11 @@ def _bwd_fm1_single_tile_kernel(
 
     acc[...] = jnp.zeros_like(acc)
 
+    bf16 = f0.dtype == jnp.bfloat16
+    ext_t = jnp.bfloat16 if bf16 else jnp.float32
+
     def body(di, _):
-        gb = jnp.zeros((th, w, w2d8), jnp.float32)
+        gb = jnp.zeros((th, w, w2d8), ext_t)
         rmask = None
         if stride > 1:
             rmask = _row_mask(0, th, h, di - d_max, d_max, stride)
@@ -379,10 +398,10 @@ def _bwd_fm1_single_tile_kernel(
                 g = g * rmask
                 g = g * _col_mask(w, dj - d_max, d_max, stride)
             # target col v = j + dj (apron origin: v == q + d)
-            gb = gb + jnp.where((vcol == jrow + dj)[None], g[:, :, None], 0.0)
-        bf16 = f0.dtype == jnp.bfloat16
+            bm = (vcol == jrow + dj).astype(ext_t)  # (W, W2D8)
+            gb = gb + bm[None] * g[:, :, None].astype(ext_t)
         contrib = jax.lax.dot_general(
-            gb.astype(f0.dtype) if bf16 else gb,
+            gb,
             f0 if bf16 else f0.astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,

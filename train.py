@@ -40,10 +40,16 @@ def main() -> None:
 
     cfg = load_config(args.cfg)
 
-    try:  # config-logged wandb run when wandb is importable + configured
-        import wandb
+    try:  # config-logged wandb run when wandb is importable + configured.
+        # wandb.init() blocks indefinitely without network/credentials, so
+        # it only runs when the user opted in via WANDB_MODE (the reference
+        # requires wandb unconditionally, reference train.py:25).
+        import os
 
-        wandb.init(config=cfg.__dict__)
+        if os.environ.get("WANDB_MODE", "disabled") != "disabled":
+            import wandb
+
+            wandb.init(config=cfg.__dict__)
     except Exception:
         pass
 
