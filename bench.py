@@ -39,9 +39,9 @@ def main() -> None:
 
     # reference working point + TPU static-shape defaults. The reference
     # default batch is 4 pairs (cfg/default.yaml); this chip sustains
-    # higher throughput at 8 (scaling plateaus ~b12), so the headline
-    # trains at b8 and the b4 number is reported alongside.
-    cfg = Config(BATCH_SIZE=8)
+    # higher throughput at larger batches (b4 44 / b8 50 / b16 52 pairs/s
+    # measured), so the headline trains at b16.
+    cfg = Config(BATCH_SIZE=16)
     dtype = jnp.bfloat16 if cfg.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     model = DetectTrackModule(
         backbone_arch=cfg.BACKBONE_ARCH,
