@@ -66,3 +66,25 @@ def make_parallel_train_step(
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
+
+
+def make_parallel_detect(
+    model, cfg: Config, mesh: Mesh, axis: str = "data"
+) -> Callable:
+    """SPMD batched-pair inference: params/anchors replicated, the pair
+    batch sharded over `axis` -- multi-chip serving throughput is a mesh
+    width, not a code change. Returns fn(variables, images (P,2,H,W,3),
+    anchors) -> PairDetections with every field batch-sharded (device
+    results stay sharded; jax.device_get gathers them on the host)."""
+    import functools
+
+    from ..inference import detect_pairs_batched
+
+    rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P(axis))
+    fn = functools.partial(detect_pairs_batched, model, cfg=cfg)
+    return jax.jit(
+        fn,
+        in_shardings=(rep, shd, rep),
+        out_shardings=shd,
+    )

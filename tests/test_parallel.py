@@ -105,3 +105,57 @@ def test_parallel_step_matches_single_device():
     p4 = jax.tree_util.tree_leaves(jax.device_get(s4.params))
     for a, b in zip(p1, p4):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+
+
+def test_parallel_detect_matches_single_device():
+    """batch-sharded inference over a 4-device mesh reproduces the
+    single-device detections."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from detect_to_track_tpu.anchors import build_anchors
+    from detect_to_track_tpu.inference import detect_pairs_batched
+    from detect_to_track_tpu.parallel import make_mesh, make_parallel_detect
+
+    from __graft_entry__ import _model_for
+    from detect_to_track_tpu.config import Config
+
+    cfg = Config(
+        N_CLASSES=4,
+        BATCH_SIZE=4,
+        INPUT_SHAPE=(32, 48),
+        ANCHOR_AREAS=(0.05,),
+        ANCHOR_ASPECT_RATIOS=(1.0, 2.0),
+        MAX_LABELS=4,
+        PRE_NMS_TOPK=16,
+        MAX_ROIS=8,
+        MAX_DETS=4,
+        D_MAX=1,
+        K=2,
+        COMPUTE_DTYPE="float32",
+    )
+    model = _model_for(cfg, corr_impl="xla")
+    h, w = cfg.INPUT_SHAPE
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        rng,
+        jnp.zeros((2, h, w, 3), jnp.float32),
+        jnp.full((2, cfg.MAX_ROIS, 4), 0.4, jnp.float32),
+    )
+    anchors = jnp.asarray(
+        build_anchors(cfg.fm_shape, cfg.ANCHOR_AREAS, cfg.ANCHOR_ASPECT_RATIOS)
+    )
+    images = jax.random.uniform(jax.random.PRNGKey(1), (4, 2, h, w, 3))
+
+    single = detect_pairs_batched(model, variables, images, anchors, cfg)
+
+    mesh = make_mesh(4)
+    detect = make_parallel_detect(model, cfg, mesh)
+    sharded = detect(variables, images, anchors)
+
+    for a, b in zip(single, sharded):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-5, atol=1e-6,
+        )
