@@ -155,6 +155,7 @@ def main() -> None:
     for path in sorted(glob.glob("BENCH_r*.json")):
         try:
             rec = json.load(open(path))
+            rec = rec.get("parsed", rec)  # driver records nest under "parsed"
             if rec.get("metric", "").startswith("train"):
                 prev = rec.get("value")
         except Exception:
