@@ -150,14 +150,17 @@ def main() -> None:
         jax.block_until_ready(out.boxes)
     clip_device_fps = 5 * 4 / (time.perf_counter() - t0)
 
-    # baseline ratio: previous recorded round, if any
-    prev = None
+    # baseline ratio: previous recorded round, if any. The prior config is
+    # recorded alongside so a batch-size change is visible in the ratio
+    # (ADVICE r2: don't conflate config changes with code speedups).
+    prev, prev_config = None, None
     for path in sorted(glob.glob("BENCH_r*.json")):
         try:
             rec = json.load(open(path))
             rec = rec.get("parsed", rec)  # driver records nest under "parsed"
             if rec.get("metric", "").startswith("train"):
                 prev = rec.get("value")
+                prev_config = rec.get("config")
         except Exception:
             pass
     vs = pairs_per_sec / prev if prev else 1.0
@@ -175,6 +178,7 @@ def main() -> None:
                 "correlation_fwd_ms_c4": round(corr_ms, 4),
                 "device": str(jax.devices()[0]),
                 "config": f"608x1200 resnet50 b{cfg.BATCH_SIZE} bf16 d_max=8 k=7",
+                "vs_baseline_config": prev_config,
             }
         )
     )

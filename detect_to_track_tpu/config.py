@@ -110,6 +110,9 @@ class Config:
     # parallelism: data-parallel mesh size (1 = single chip).
     NUM_DEVICES: int = 1
     MESH_AXES: Tuple[str, ...] = ("data",)
+    # EXPERIMENTAL: >1 calls jax.distributed.initialize() at startup so the
+    # data mesh spans hosts (DCN); untestable single-host -- see train.py.
+    NUM_HOSTS: int = 1
 
     # observability / checkpointing
     OUTPUT_DIR: str = "output"
@@ -147,6 +150,22 @@ class Config:
     def pre_nms_topk_eval(self) -> int:
         """proposals entering NMS at inference (honors EVAL_MAX_ROIS)."""
         return self._derived_topk(self.EVAL_MAX_ROIS)
+
+    def _derived_cap(self, max_rois: int) -> int:
+        """the EXACT MaxDetFilter capacity (reference trainer.py:98-102):
+        pre_nms_topk_* is lane-padded (3000 -> 3072 slots) but only this
+        many score-descending slots may enter NMS."""
+        if self.PRE_NMS_TOPK is not None:
+            return min(self.PRE_NMS_TOPK, self.n_anchors)
+        return min(max_rois, self.n_anchors)
+
+    @property
+    def pre_nms_cap_train(self) -> int:
+        return self._derived_cap(self.TRAIN_MAX_ROIS)
+
+    @property
+    def pre_nms_cap_eval(self) -> int:
+        return self._derived_cap(self.EVAL_MAX_ROIS)
 
     def replace(self, **kwargs) -> "Config":
         return dataclasses.replace(self, **kwargs)

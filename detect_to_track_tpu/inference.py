@@ -77,6 +77,7 @@ def detect_pairs_batched(
         cfg.EVAL_ROI_CONF_THRESH,
         cfg.EVAL_NMS_IOU_THRESH,
         cfg.MAX_ROIS,
+        cfg.pre_nms_cap_eval,
     )  # boxes (2P, R, 4), valid (2P, R)
 
     c_hat, b2_hat = model.apply(
@@ -161,9 +162,13 @@ def detect_clip(
     frame twice (as the reference must, inference.py:54).
 
     Args:
-        frames: (F, H, W, 3) float32 in [0, 1], F >= 2.
+        frames: (F, H, W, 3) float32 in [0, 1] OR uint8 in [0, 255] -- uint8
+            normalizes ON DEVICE, cutting the host->device clip upload 4x
+            (the dominant cost through a remote-tunnel link; clip.py).
     """
     f = frames.shape[0]
+    if frames.dtype == jnp.uint8:
+        frames = frames.astype(jnp.float32) / 255.0
     fmaps = model.apply(variables, frames, method="backbone")
 
     o_hat, b_hat, fm_reg = model.apply(variables, fmaps["c4"], method="rpn")
@@ -175,6 +180,7 @@ def detect_clip(
         cfg.EVAL_ROI_CONF_THRESH,
         cfg.EVAL_NMS_IOU_THRESH,
         cfg.MAX_ROIS,
+        cfg.pre_nms_cap_eval,
     )
 
     c_hat, b2_hat = model.apply(
@@ -246,7 +252,13 @@ class Detector:
 
     def detect_clip(self, frames) -> ClipDetections:
         """consecutive-frame raw API: frames is (F, H, W, 3); backbone runs
-        once per frame (see detect_clip). One jit cache entry per F."""
+        once per frame (see detect_clip).
+
+        NOTE: one jit cache entry per distinct F -- every new clip length
+        recompiles (~20-40 s cold). ClipTracker avoids this by chunking
+        clips to a fixed F (plus at most one tail size); callers feeding
+        arbitrary-length clips directly should pad to a fixed F themselves.
+        """
         f = len(frames)
         if not hasattr(self, "_fwd_clip"):
             self._fwd_clip = {}

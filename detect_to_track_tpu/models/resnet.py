@@ -220,12 +220,6 @@ def resnet_trainable_mask(params: Dict, first_trainable_stage: int) -> Dict:
 
     def decide(path) -> bool:
         names = [getattr(p, "key", str(p)) for p in path]
-        for n in names:
-            if isinstance(n, str) and (n == "scale" or n == "bias"):
-                # frozen-BN affines inside the backbone are never trainable;
-                # detected below by layer context. Dense/Conv bias params are
-                # named "bias" too, so only freeze when inside a bn module.
-                pass
         in_backbone = any(isinstance(n, str) and n == "backbone" for n in names)
         if not in_backbone:
             return True

@@ -99,7 +99,7 @@ def nms_mask(
     return keep
 
 
-@partial(jax.jit, static_argnums=(2, 5))
+@partial(jax.jit, static_argnums=(2, 5, 6))
 def proposal_filter(
     scores: jnp.ndarray,
     boxes: jnp.ndarray,
@@ -107,12 +107,26 @@ def proposal_filter(
     conf_thresh: float,
     nms_iou_thresh: float,
     max_rois: int,
+    pre_nms_cap: int = None,
 ) -> Proposals:
     """full pipeline for one frame: gate -> top-k -> NMS -> cap.
+
+    pre_nms_cap, when set below pre_nms_topk, invalidates the score-
+    descending slots beyond it -- pre_nms_topk stays a lane multiple (128)
+    for shape efficiency while NMS sees EXACTLY the reference's
+    MaxDetFilter(cap) candidate set (reference trainer.py:98-102 caps at
+    TRAIN_MAX_ROIS=3000, not 3072).
 
     Returns Proposals with (max_rois, 4) boxes (score-descending) + mask.
     """
     p = top_k_proposals(scores, boxes, conf_thresh, pre_nms_topk)
+    if pre_nms_cap is not None and pre_nms_cap < p.valid.shape[0]:
+        in_cap = jnp.arange(p.valid.shape[0]) < pre_nms_cap
+        p = Proposals(
+            boxes=p.boxes,
+            scores=jnp.where(in_cap, p.scores, -jnp.inf),
+            valid=p.valid & in_cap,
+        )
     keep = nms_mask(p.boxes, p.valid, nms_iou_thresh)
 
     # compact survivors to the front, preserving score order: kept entries
@@ -142,6 +156,7 @@ def batched_proposal_filter(
     conf_thresh: float,
     nms_iou_thresh: float,
     max_rois: int,
+    pre_nms_cap: int = None,
 ) -> Proposals:
     """vmap of proposal_filter over a leading batch axis.
 
@@ -150,7 +165,8 @@ def batched_proposal_filter(
     """
     return jax.vmap(
         lambda s, b: proposal_filter(
-            s, b, pre_nms_topk, conf_thresh, nms_iou_thresh, max_rois
+            s, b, pre_nms_topk, conf_thresh, nms_iou_thresh, max_rois,
+            pre_nms_cap,
         )
     )(scores, boxes)
 

@@ -123,6 +123,7 @@ def forward_losses(
         cfg.TRAIN_ROI_CONF_THRESH,
         cfg.TRAIN_NMS_IOU_THRESH,
         cfg.MAX_ROIS,
+        cfg.pre_nms_cap_train,
     )
 
     ### RCNN losses (region targets on device; reference trainer.py:196-221).
@@ -227,10 +228,24 @@ def make_train_step(
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
-            dtl,
+        new_state = TrainState(
+            params=params, opt_state=opt_state, step=state.step + 1
         )
+        if cfg.NAN_POLICY == "skip":
+            # failure protection (the reference trains through NaNs silently,
+            # SURVEY.md §5): a non-finite loss keeps the PRE-step state --
+            # params, momentum AND step counter. The select happens ON DEVICE
+            # inside the donated step: a host-side `prev = state` before the
+            # call would reference buffers invalidated by donate_argnums.
+            finite = jnp.all(
+                jnp.isfinite(
+                    jnp.stack([dtl.o, dtl.b_rpn, dtl.c, dtl.b_rcnn, dtl.t])
+                )
+            )
+            new_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old), new_state, state
+            )
+        return new_state, dtl
 
     return jax.jit(step, donate_argnums=(0,))
 
@@ -270,6 +285,10 @@ class BatchLoader:
         self.cfg = cfg
         self.rng = np.random.RandomState(seed)
         self.shuffle = shuffle
+        # labels beyond MAX_LABELS are dropped by pack_labels; keep the
+        # overflow observable (VERDICT r2 weak #6: crowded DET stills can
+        # exceed the capacity silently).
+        self.dropped_labels = 0
 
     def _pack_pair(self, pair) -> Tuple[np.ndarray, Tuple]:
         inst0, inst1 = pair
@@ -280,6 +299,15 @@ class BatchLoader:
                 ims.append(inst.im.astype(np.float32))
             else:
                 ims.append(image_to_input(inst.im, self.cfg.INPUT_SHAPE))
+            overflow = len(inst.labels) - self.cfg.MAX_LABELS
+            if overflow > 0:
+                if self.dropped_labels == 0:
+                    print(
+                        f"WARNING: frame has {len(inst.labels)} labels; "
+                        f"dropping {overflow} beyond MAX_LABELS="
+                        f"{self.cfg.MAX_LABELS} (counted in dropped_labels)"
+                    )
+                self.dropped_labels += overflow
             frames.append(pack_labels(inst.labels, self.cfg.MAX_LABELS))
         return np.stack(ims), frames
 
@@ -448,15 +476,16 @@ class DetectTrackTrainer:
         try:
             window = DTLoss()
             for batch in prefetch(iter(self.trn_loader)):
-                # NAN_POLICY="skip" rolls back to the pre-step state when the
-                # step's loss is non-finite, so one bad batch cannot poison
-                # the params; only then is the extra state reference held.
-                prev = self.state if self.cfg.NAN_POLICY == "skip" else None
+                # under NAN_POLICY="skip" the jitted step itself rolls back
+                # to the pre-step state on a non-finite loss (on-device
+                # select in make_train_step) -- the host only skips the
+                # metric accumulation; it never holds a stale reference to
+                # donated buffers.
                 self.state, dtl = self._train_step(self.state, batch)
                 dtl = jax.device_get(dtl)
-                if not self._check_finite(dtl) and prev is not None:
-                    self.state = prev
-                    continue
+                if not self._check_finite(dtl):
+                    if self.cfg.NAN_POLICY == "skip":
+                        continue
                 trn_loss = trn_loss + dtl
                 window = window + dtl
                 self.n_iters += self.cfg.BATCH_SIZE
@@ -468,7 +497,10 @@ class DetectTrackTrainer:
                     self.logger(
                         {f"itr_{k}": float(v) / c
                          for k, v in window.asdict().items()}
-                        | {"iter": self.n_iters}
+                        | {
+                            "iter": self.n_iters,
+                            "dropped_labels": self.trn_loader.dropped_labels,
+                        }
                     )
                     window = DTLoss()
                 if self.n_iters >= self._max_iters:
@@ -481,7 +513,8 @@ class DetectTrackTrainer:
     def _check_finite(self, dtl: DTLoss) -> bool:
         """failure detection (the reference has none, SURVEY.md §5): act on
         non-finite losses per cfg.NAN_POLICY ("raise" aborts, "warn" logs and
-        keeps the update, "skip" logs and tells the caller to roll back).
+        keeps the update, "skip" logs -- the jitted step already rolled the
+        state back on device, see make_train_step).
 
         Returns True if the losses are finite."""
         vals = [float(v) for v in (dtl.o, dtl.b_rpn, dtl.c, dtl.b_rcnn, dtl.t)]
@@ -555,6 +588,7 @@ class DetectTrackTrainer:
 
         metrics = {**avg(trn_loss, "trn"), **avg(val_loss, "val")}
         metrics["step"] = int(self.state.step)
+        metrics["dropped_labels"] = self.trn_loader.dropped_labels
 
         images = self._report_images()
         try:

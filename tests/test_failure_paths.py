@@ -87,6 +87,31 @@ def test_pre_nms_topk_honors_reference_capacity_keys():
     assert override.pre_nms_topk_eval == 512
 
 
+def test_pre_nms_cap_masks_lane_padding():
+    """pre_nms_topk is lane-padded (3000 -> 3072 slots) but only the exact
+    reference MaxDetFilter capacity may enter NMS (ADVICE r2 #3)."""
+    import jax.numpy as jnp
+
+    from detect_to_track_tpu.ops.nms import proposal_filter
+
+    cfg = Config(TRAIN_MAX_ROIS=3000, EVAL_MAX_ROIS=300)
+    assert cfg.pre_nms_topk_train == 3072 and cfg.pre_nms_cap_train == 3000
+    assert cfg.pre_nms_topk_eval == 384 and cfg.pre_nms_cap_eval == 300
+
+    # functional: 24 disjoint boxes (no NMS suppression), topk=16, cap=10
+    # -> exactly the 10 best survive; slots 10..15 are masked out.
+    n = 24
+    scores = jnp.linspace(1.0, 0.5, n)
+    boxes = jnp.stack(
+        [jnp.arange(n) * 10.0, jnp.zeros(n), jnp.full(n, 4.0), jnp.full(n, 4.0)],
+        axis=1,
+    )
+    out = proposal_filter(scores, boxes, 16, 0.0, 0.5, 16, 10)
+    assert int(out.valid.sum()) == 10
+    uncapped = proposal_filter(scores, boxes, 16, 0.0, 0.5, 16)
+    assert int(uncapped.valid.sum()) == 16
+
+
 def test_vid_source_validates_frame_label_counts(tmp_path):
     """frame/label count mismatch must raise at init (the reference's only
     dataset integrity check, imagenet.py:46-51)."""

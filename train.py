@@ -40,6 +40,16 @@ def main() -> None:
 
     cfg = load_config(args.cfg)
 
+    if cfg.NUM_HOSTS > 1:
+        # EXPERIMENTAL multi-host data parallelism: initialize the JAX
+        # distributed runtime (coordinator address etc. from the standard
+        # JAX_COORDINATOR_ADDRESS/JAX_PROCESS_ID env vars) BEFORE touching
+        # devices; the data mesh then spans all hosts' chips and the
+        # gradient all-reduce rides ICI within a host, DCN across. This
+        # path cannot be exercised in a single-host environment -- it is
+        # wired per SURVEY §5 but unvalidated.
+        jax.distributed.initialize()
+
     try:  # config-logged wandb run when wandb is importable + configured.
         # wandb.init() blocks indefinitely without network/credentials, so
         # it only runs when the user opted in via WANDB_MODE (the reference
