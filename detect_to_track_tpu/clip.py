@@ -7,7 +7,15 @@ viterbi_tracking manually (reference inference.py + viterbi.py). Here the
 clip runs through `detect_clip` in fixed-size chunks with one-frame overlap:
 the backbone/RPN/R-FCN execute ONCE per frame, the tracker covers every
 adjacent pair by slicing the shared feature batch, and tubelets come out of
-the (native C++ or numpy) Viterbi linker.
+the Viterbi linker.
+
+Two linker paths:
+- device (default): link scoring AND the multi-path Viterbi DP run on
+  device (viterbi_device.py, lax.scan) -- between chunks only the (D, D)
+  link-score matrices stay on device; the host sees nothing until the final
+  integer paths come back (north star: DP as a jax.lax.scan).
+- host: per-frame detections are downloaded and the numpy / native C++
+  linker runs (viterbi.py) -- the oracle path, exact-equality pinned.
 """
 
 from __future__ import annotations
@@ -29,6 +37,13 @@ class ClipTracker:
         min_len: minimum tubelet length to keep.
         frame_chunk: frames per device dispatch (static shape; clips longer
             than this are processed in overlapping chunks).
+        device_linking: run link scoring + Viterbi DP on device
+            (viterbi_device.py); False downloads detections and uses the
+            host/native linker. Results are pinned equal in tests.
+        uint8_upload: ship frames to the device as uint8 and normalize
+            there -- 4x less transfer than float32 (exact for PIL/uint8
+            sources, <=1/510 quantization for float input). The upload is
+            the bottleneck through a remote-tunnel device link.
     """
 
     def __init__(
@@ -38,11 +53,74 @@ class ClipTracker:
         min_len: int = 2,
         frame_chunk: int = 8,
         pair_batch: int = None,  # back-compat alias for frame_chunk
+        device_linking: bool = True,
+        uint8_upload: bool = True,
     ) -> None:
         self.detector = detector
         self.link_iou_thresh = link_iou_thresh
         self.min_len = min_len
         self.frame_chunk = max(pair_batch or frame_chunk, 2)
+        self.device_linking = device_linking
+        self.uint8_upload = uint8_upload
+        self._chunk_scores_fn = None
+        self.last_upload_s = 0.0  # cumulative device_put wait, last call
+
+    # -- device path ------------------------------------------------------
+
+    def _chunk_scores(self):
+        """jitted: ClipDetections -> ((F-1, D, D) link scores, (D,) frame-0
+        init scores). One compile per chunk shape."""
+        if self._chunk_scores_fn is None:
+            import functools
+
+            import jax
+            import jax.numpy as jnp
+
+            from .encoding import frcnn_box_decode
+            from .viterbi_device import NEG_INF, clip_link_scores
+
+            iou = self.link_iou_thresh
+
+            def fn(out):
+                confs = out.confs[:, :, 1:].sum(-1)  # (F, D) class-summed
+                track_boxes = frcnn_box_decode(out.boxes[:-1], out.tracks)
+                seq, _ = clip_link_scores(
+                    confs, out.boxes, track_boxes, out.valid, iou
+                )
+                init = jnp.where(out.valid[0], confs[0], NEG_INF)
+                return seq, init
+
+            self._chunk_scores_fn = jax.jit(fn)
+        return self._chunk_scores_fn
+
+    def _link_device(
+        self, seq_slots, init, bbox_host, valid_host
+    ) -> List[Tuple[Tuple[int, int], np.ndarray]]:
+        import jax
+        import jax.numpy as jnp
+
+        from .viterbi_device import viterbi_multi_link_scan
+
+        # NOTE: one jit cache entry per (clip length, D) -- long variable-
+        # length clips should be padded/chunked by the caller.
+        seq = jnp.stack(seq_slots)  # (n-1, D, D), still on device
+        out = jax.device_get(viterbi_multi_link_scan(seq, init))
+
+        tubelets = []
+        for i in range(int(out.n_paths)):
+            s, e = int(out.spans[i, 0]), int(out.spans[i, 1])
+            if e - s + 1 < self.min_len:
+                continue
+            boxes = np.array(
+                [
+                    bbox_host[ts][int(out.nodes[i, ts])]
+                    for ts in range(s, e + 1)
+                ]
+            )
+            tubelets.append(((s, e), boxes))
+        return tubelets
+
+    # -- shared chunking loop ---------------------------------------------
 
     def __call__(
         self, frames: Sequence
@@ -57,12 +135,19 @@ class ClipTracker:
         from .encoding import frcnn_box_decode
 
         arrs = [self.detector._to_array(f) for f in frames]
+        if self.uint8_upload:
+            arrs = [
+                np.clip(np.rint(a * 255.0), 0, 255).astype(np.uint8)
+                for a in arrs
+            ]
         n = len(arrs)
         chunk = min(self.frame_chunk, n)
 
         conf_seq: List[np.ndarray] = [None] * n
         bbox_seq: List[np.ndarray] = [None] * n
         track_seq: List[np.ndarray] = [None] * (n - 1)
+        seq_slots = [None] * (n - 1)  # device (D, D) link-score matrices
+        init_scores = None
 
         # overlapping chunks: each covers frames [s, s+chunk); consecutive
         # chunks share one frame so every adjacent pair gets a track. The
@@ -74,8 +159,17 @@ class ClipTracker:
         # window computes (uploads dominate clip fps through the tunnel).
         import jax
 
+        self.last_upload_s = 0.0
+
         def upload(s):
-            return jax.device_put(np.stack(arrs[s : s + chunk]))
+            import time
+
+            t0 = time.perf_counter()
+            buf = jax.device_put(np.stack(arrs[s : s + chunk]))
+            # device_put is async; this records the host-side enqueue cost
+            # only (stall time shows up as detect_clip latency instead).
+            self.last_upload_s += time.perf_counter() - t0
+            return buf
 
         pending = upload(starts[0])
         for si, s in enumerate(starts):
@@ -83,6 +177,21 @@ class ClipTracker:
             if si + 1 < len(starts):
                 pending = upload(starts[si + 1])
             out = self.detector.detect_clip(window)
+
+            if self.device_linking:
+                seq, init = self._chunk_scores()(out)
+                if s == 0:
+                    init_scores = init
+                for fi in range(chunk - 1):
+                    t = s + fi
+                    if seq_slots[t] is None:
+                        seq_slots[t] = seq[fi]
+                boxes = np.asarray(out.boxes)  # host copy for tubelet boxes
+                for fi in range(chunk):
+                    if bbox_seq[s + fi] is None:
+                        bbox_seq[s + fi] = boxes[fi]
+                continue
+
             confs = np.asarray(out.confs)  # (F, D, C+1)
             boxes = np.asarray(out.boxes)
             valid = np.asarray(out.valid)
@@ -100,6 +209,9 @@ class ClipTracker:
                     track_seq[t] = np.asarray(
                         frcnn_box_decode(boxes[fi][v], tracks[fi][v], xp=np)
                     ).reshape(-1, 4)
+
+        if self.device_linking:
+            return self._link_device(seq_slots, init_scores, bbox_seq, None)
 
         return viterbi_tracking(
             conf_seq, bbox_seq, track_seq, self.link_iou_thresh, self.min_len

@@ -128,3 +128,21 @@ def test_clip_tracker_runs(detector, rng):
     for (start, end), boxes in tubelets:
         assert 0 <= start <= end <= 3
         assert boxes.shape == (end - start + 1, 4)
+
+
+def test_clip_tracker_device_linking_matches_host(detector, rng):
+    """the on-device lax.scan linker (viterbi_device.py) must produce the
+    same tubelets as the host/native linker on a real clip forward."""
+    from detect_to_track_tpu.clip import ClipTracker
+
+    det, cfg = detector
+    h, w = cfg.INPUT_SHAPE
+    frames = [rng.rand(h, w, 3).astype(np.float32) for _ in range(5)]
+    dev = ClipTracker(det, link_iou_thresh=0.5, min_len=1,
+                      device_linking=True)(frames)
+    host = ClipTracker(det, link_iou_thresh=0.5, min_len=1,
+                       device_linking=False)(frames)
+    assert len(dev) == len(host)
+    for (span_a, boxes_a), (span_b, boxes_b) in zip(dev, host):
+        assert span_a == span_b
+        np.testing.assert_allclose(boxes_a, boxes_b, rtol=1e-6, atol=1e-7)
