@@ -166,8 +166,9 @@ def _fwd_kernel(
 def _bwd_fm0_kernel(
     g_ref,  # (1, K2, TH, W) VMEM
     fm1_ref,  # (B, HP+2d, W+2d, C) HBM
-    out_ref,  # (1, TH, W, CB) VMEM
+    out_ref,  # (1, TH, W, CB) VMEM (native dtype)
     halo,  # (TH+2d, W+2d, CB) VMEM scratch
+    acc,  # (TH, W, CB) f32 VMEM scratch (di accumulator)
     sem,
     *,
     d_max: int,
@@ -194,7 +195,7 @@ def _bwd_fm0_kernel(
         sem,
     )
     dma.start()
-    out_ref[...] = jnp.zeros_like(out_ref)
+    acc[...] = jnp.zeros_like(acc)
     dma.wait()
 
     h0 = hi * tile_h
@@ -225,7 +226,7 @@ def _bwd_fm0_kernel(
                 g = g * _col_mask(w, dj - d_max, d_max, stride)
             bm = (vcol == jcol + dj).astype(ext_t)  # (W, W8)
             gb = gb + bm[None] * g[:, :, None].astype(ext_t)
-        out_ref[0] += jax.lax.dot_general(
+        acc[...] += jax.lax.dot_general(
             gb,
             rows if bf16 else rows.astype(jnp.float32),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -239,6 +240,7 @@ def _bwd_fm0_kernel(
         return 0
 
     jax.lax.fori_loop(0, 2 * d_max, body, 0)
+    out_ref[0] = acc[...].astype(out_ref.dtype)
 
 
 def _bwd_fm1_kernel(
@@ -422,16 +424,22 @@ def _bwd_fm1_single_tile_kernel(
 # ---------------------------------------------------------------------------
 
 
-def _plan(b, h, w, c, d_max):
+def _plan(b, h, w, c, d_max, c_cap=512):
     # big tiles: grid-step and loop overhead dominate this kernel well before
     # VMEM does (v5e has ~100 MB usable), so take the whole height when it
     # fits and large channel blocks. tile_h must stay sublane-aligned for
     # the halo DMAs.
+    #
+    # c_cap sets the channel-block ceiling PER KERNEL: every VPU-side cost
+    # (diagonal extraction, banded scatter, stride masks) repeats once per
+    # channel block, so blocks should be as large as the kernel's VMEM
+    # budget allows -- at the working point (c4 = 1024, c5 = 2048 channels)
+    # doubling the block halves the non-MXU work.
     tile_h = _round_up(min(h, 40), 8)
     hp = _round_up(h, tile_h)
     # channel blocks must be lane-aligned for the halo DMAs (and small
     # channel counts are padded up to one lane tile).
-    c_blk = min(_round_up(c, 128), 512)
+    c_blk = min(_round_up(c, 128), c_cap)
     cp = _round_up(c, c_blk)
     grid = (b, hp // tile_h, cp // c_blk)
     # manual-DMA'd buffers need tiling-aligned shapes: the apron'd width is
@@ -452,7 +460,11 @@ def _pad_to(x, h_to, w_to, *, h_axis=1, w_axis=2):
 def _corr_fwd_pallas(fm0, fm1, d_max, stride, interpret):
     b, h, w, c = fm0.shape
     k = 2 * d_max + 1
-    tile_h, hp, c_blk, cp, grid, w8, w128 = _plan(b, h, w, c, d_max)
+    # one channel block for every working-point size (c3d/c4/c5 = 512/1024/
+    # 2048 bf16): the 16x16 diagonal-extraction passes then run ONCE per row
+    # tile instead of once per channel revisit.
+    c_cap = 2048 if fm0.dtype == jnp.bfloat16 else 1024
+    tile_h, hp, c_blk, cp, grid, w8, w128 = _plan(b, h, w, c, d_max, c_cap)
 
     fm0_p = _pad_to(fm0, hp, w)
     if cp != c:
@@ -499,7 +511,7 @@ def _corr_fwd_pallas(fm0, fm1, d_max, stride, interpret):
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(fm0_p, fm1_p)
@@ -511,7 +523,10 @@ def _corr_bwd_pallas(fm0, fm1, g, d_max, stride, interpret):
     """g arrives in the kernel's native (B, K2, H, W) layout."""
     b, h, w, c = fm0.shape
     k = 2 * d_max + 1
-    tile_h, hp, c_blk, cp, grid, w8, w128 = _plan(b, h, w, c, d_max)
+    # larger channel blocks than the fwd budget allows f32 accumulators for:
+    # the banded gradient scatter (16 masked passes per row displacement)
+    # repeats per channel block, so 1024-wide blocks halve it at c5.
+    tile_h, hp, c_blk, cp, grid, w8, w128 = _plan(b, h, w, c, d_max, 1024)
 
     g = g.astype(jnp.float32)
     g_tiles = _pad_to(g, hp, w, h_axis=2, w_axis=3)
@@ -541,13 +556,14 @@ def _corr_bwd_pallas(fm0, fm1, g, d_max, stride, interpret):
             lambda bb, hh, cc: (bb, hh, 0, cc),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, hp, w, cp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, hp, w, cp), fm0.dtype),
         scratch_shapes=[
             pltpu.VMEM((tile_h + 2 * d_max, w8, c_blk), fm1.dtype),
+            pltpu.VMEM((tile_h, w, c_blk), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(g_tiles, fm1_p)
@@ -578,7 +594,7 @@ def _corr_bwd_pallas(fm0, fm1, g, d_max, stride, interpret):
                 lambda bb, hh, cc: (bb, hh, 0, cc),
                 memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((b, hp, w, cp), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((b, hp, w, cp), fm1.dtype),
             scratch_shapes=[
                 pltpu.VMEM((tile_h + 2 * d_max, w2d8, c_blk), jnp.float32),
             ],
