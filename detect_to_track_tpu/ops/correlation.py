@@ -31,12 +31,23 @@ Off-TPU (tests, CPU) the same custom_vjp wraps interpret-mode kernels, or
 from __future__ import annotations
 
 import functools
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .lax_ref import pointwise_correlation_ref
+
+
+def _env_cap(name: str, default: int) -> int:
+    """channel-block ceiling override (perf tuning: larger blocks cut the
+    per-revisit VPU work but inflate Mosaic compile time)."""
+    try:
+        return int(os.environ[name])
+    except (KeyError, ValueError):
+        return default
 
 
 def _round_up(x: int, m: int) -> int:
@@ -463,7 +474,9 @@ def _corr_fwd_pallas(fm0, fm1, d_max, stride, interpret):
     # one channel block for every working-point size (c3d/c4/c5 = 512/1024/
     # 2048 bf16): the 16x16 diagonal-extraction passes then run ONCE per row
     # tile instead of once per channel revisit.
-    c_cap = 2048 if fm0.dtype == jnp.bfloat16 else 1024
+    c_cap = _env_cap(
+        "D2T_CORR_FWD_CCAP", 2048 if fm0.dtype == jnp.bfloat16 else 1024
+    )
     tile_h, hp, c_blk, cp, grid, w8, w128 = _plan(b, h, w, c, d_max, c_cap)
 
     fm0_p = _pad_to(fm0, hp, w)
@@ -526,7 +539,9 @@ def _corr_bwd_pallas(fm0, fm1, g, d_max, stride, interpret):
     # larger channel blocks than the fwd budget allows f32 accumulators for:
     # the banded gradient scatter (16 masked passes per row displacement)
     # repeats per channel block, so 1024-wide blocks halve it at c5.
-    tile_h, hp, c_blk, cp, grid, w8, w128 = _plan(b, h, w, c, d_max, 1024)
+    tile_h, hp, c_blk, cp, grid, w8, w128 = _plan(
+        b, h, w, c, d_max, _env_cap("D2T_CORR_BWD_CCAP", 1024)
+    )
 
     g = g.astype(jnp.float32)
     g_tiles = _pad_to(g, hp, w, h_axis=2, w_axis=3)
