@@ -138,6 +138,7 @@ def main() -> None:
     t0 = time.perf_counter()
     tracker(clip)
     clip_fps = len(clip) / (time.perf_counter() - t0)
+    clip_upload_ms = tracker.last_upload_s * 1e3  # host enqueue cost
 
     # device-side-only clip rate (window pre-uploaded): separates the jitted
     # per-chunk compute from the tunnel's host->device frame uploads.
@@ -175,6 +176,7 @@ def main() -> None:
                 "inference_pairs_per_sec": round(infer_pairs_per_sec, 3),
                 "clip_tracking_fps": round(clip_fps, 3),
                 "clip_device_fps": round(clip_device_fps, 3),
+                "clip_upload_ms": round(clip_upload_ms, 2),
                 "correlation_fwd_ms_c4": round(corr_ms, 4),
                 "device": str(jax.devices()[0]),
                 "config": f"608x1200 resnet50 b{cfg.BATCH_SIZE} bf16 d_max=8 k=7",

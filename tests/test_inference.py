@@ -130,6 +130,27 @@ def test_clip_tracker_runs(detector, rng):
         assert boxes.shape == (end - start + 1, 4)
 
 
+def test_clip_tracker_uint8_upload_exact_on_quantized_frames(detector, rng):
+    """for frames that are exact 1/255 multiples (every PIL/uint8 source),
+    the uint8 upload path must produce the same tubelets as the float
+    path (XLA lowers /255 as a reciprocal multiply, so values may differ
+    in the last ulp -- near-exact, not bitwise)."""
+    from detect_to_track_tpu.clip import ClipTracker
+
+    det, cfg = detector
+    h, w = cfg.INPUT_SHAPE
+    frames = [
+        (rng.randint(0, 256, (h, w, 3)).astype(np.float32) / 255.0)
+        for _ in range(4)
+    ]
+    a = ClipTracker(det, min_len=1, uint8_upload=False)(frames)
+    b = ClipTracker(det, min_len=1, uint8_upload=True)(frames)
+    assert len(a) == len(b)
+    for (span_a, boxes_a), (span_b, boxes_b) in zip(a, b):
+        assert span_a == span_b
+        np.testing.assert_allclose(boxes_a, boxes_b, rtol=1e-4, atol=1e-5)
+
+
 def test_clip_tracker_device_linking_matches_host(detector, rng):
     """the on-device lax.scan linker (viterbi_device.py) must produce the
     same tubelets as the host/native linker on a real clip forward."""
