@@ -25,6 +25,12 @@ def main() -> None:
     )
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--n-samples", type=int, default=100)
+    parser.add_argument(
+        "--all-ckpts",
+        action="store_true",
+        help="also evaluate every rotating ckpt_step_* next to --ckpt "
+        "(mAP-vs-step from the training run's checkpoint history)",
+    )
     args = parser.parse_args()
 
     from detect_to_track_tpu.config import load_config
@@ -64,16 +70,26 @@ def main() -> None:
         variables = {
             "params": convert_reference_state_dict(sd, cfg.BACKBONE_ARCH)
         }
-    elif args.ckpt:
-        import orbax.checkpoint as ocp
+    ckpt_paths = []
+    if args.ckpt:
         from pathlib import Path
 
+        main_path = Path(args.ckpt).absolute()
+        if args.all_ckpts:
+            ckpt_paths = sorted(main_path.parent.glob("ckpt_step_*"))
+        ckpt_paths.append(main_path)
+
+    def load_ckpt(path):
+        import orbax.checkpoint as ocp
+
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(Path(args.ckpt).absolute())
-        params = (
-            restored["params"] if "params" in restored else restored
-        )
-        variables = {"params": params}
+        restored = ckptr.restore(path)
+        params = restored["params"] if "params" in restored else restored
+        step = restored.get("step") if hasattr(restored, "get") else None
+        return {"params": params}, step
+
+    if ckpt_paths:
+        variables, _ = load_ckpt(ckpt_paths[-1])
 
     if args.synthetic:
         from detect_to_track_tpu.data.synthetic import SyntheticVIDManager
@@ -96,6 +112,21 @@ def main() -> None:
             cfg.P_DET,
             cfg.A,
         )
+
+    if args.all_ckpts and len(ckpt_paths) > 1:
+        # evaluate the whole rotating history, oldest first; the main ckpt
+        # (latest-best) prints last. One Detector per params set; the jitted
+        # forward is shared across restores (same shapes).
+        for path in ckpt_paths:
+            variables, step = load_ckpt(path)
+            detector = Detector(model, variables, cfg)
+            metrics = evaluate_detector(detector, manager, cfg.N_CLASSES)
+            tag = path.name if path.name != "ckpt" else "ckpt(best)"
+            print(
+                {"ckpt": tag, "step": None if step is None else int(step)}
+                | {k: round(v, 4) for k, v in sorted(metrics.items())}
+            )
+        return
 
     detector = Detector(model, variables, cfg)
     metrics = evaluate_detector(detector, manager, cfg.N_CLASSES)
