@@ -63,6 +63,19 @@ class FrozenBatchNorm(nn.Module):
         return x * scale.astype(self.dtype) + bias.astype(self.dtype)
 
 
+class _StemConvKernel(nn.Module):
+    """holds the stem conv kernel as a bare param so the apply-time path can
+    reshape it (space-to-depth) while the param tree stays byte-identical to
+    the plain `nn.Conv(name="conv1")` layout (conv1/kernel, HWIO 7x7x3x64) --
+    checkpoints and `convert_torch_state_dict` need no changes."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+
+
 class Bottleneck(nn.Module):
     """torchvision-compatible bottleneck block (1x1 -> 3x3 -> 1x1, x4)."""
 
@@ -142,6 +155,14 @@ class ResNetBackbone(nn.Module):
     # rematerialize bottleneck blocks in the backward pass (trade FLOPs for
     # activation memory; enables bigger per-chip batches at 608x1200).
     remat: bool = False
+    # run the stem as a 4x4/s1 conv over a 2x2 space-to-depth input instead
+    # of 7x7/s2 over (H,W,3). Exactly equivalent math (the 7x7 kernel is
+    # zero-padded to 8x8 and regrouped), but the MXU sees a 12-channel input
+    # at half spatial -- the 3-channel layout-bound stem conv and the
+    # full-resolution input layout copy both disappear from the step trace
+    # (PERF.md round 3: ~6.4 ms/step at b8). Falls back to the plain stem
+    # when H or W is odd.
+    space_to_depth_stem: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -155,15 +176,39 @@ class ResNetBackbone(nn.Module):
         x = x.astype(self.dtype)
 
         # stem (always frozen; never matches the reference's layer regex)
-        x = nn.Conv(
-            64,
-            (7, 7),
-            strides=(2, 2),
-            padding=[(3, 3), (3, 3)],
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv1",
-        )(x)
+        stem_w = _StemConvKernel((7, 7, 3, 64), name="conv1")()
+        B, H, W = x.shape[0], x.shape[1], x.shape[2]
+        if self.space_to_depth_stem and H % 2 == 0 and W % 2 == 0:
+            # y[p,q] = sum_{i,j<7} w[i,j] x[2p+i-3, 2q+j-3]. Zero-pad w to
+            # 8x8 at the leading edge (w8[i']=w[i'-1]) so the tap offset
+            # i'-4 = 2u+v factors exactly into a block index u in {-2..1}
+            # and an intra-block index v in {0,1}: the conv becomes 4x4/s1
+            # with asymmetric padding (2,1) over z[a,b,(vi,vj,c)] =
+            # x[2a+vi, 2b+vj, c]. Zero padding is preserved: the only taps
+            # reaching x rows < -3 carry the zero kernel row.
+            z = x.reshape(B, H // 2, 2, W // 2, 2, 3)
+            z = z.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 12)
+            w8 = jnp.pad(stem_w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+            wz = (
+                w8.reshape(4, 2, 4, 2, 3, 64)
+                .transpose(0, 2, 1, 3, 4, 5)
+                .reshape(4, 4, 12, 64)
+            )
+            x = jax.lax.conv_general_dilated(
+                z,
+                wz.astype(self.dtype),
+                window_strides=(1, 1),
+                padding=[(2, 1), (2, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            x = jax.lax.conv_general_dilated(
+                x,
+                stem_w.astype(self.dtype),
+                window_strides=(2, 2),
+                padding=[(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         x = FrozenBatchNorm(64, self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(

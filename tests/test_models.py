@@ -102,6 +102,39 @@ def test_torch_weight_conversion_loads_and_runs(rng):
     assert np.isfinite(np.asarray(out["c5"])).all()
 
 
+def test_space_to_depth_stem_matches_plain(rng):
+    """the 4x4/s1 space-to-depth stem must equal the 7x7/s2 stem exactly
+    (same params; the kernel regrouping is an identity rewrite). Includes
+    boundary pixels -- zero padding must be preserved by the transform."""
+    x = jnp.asarray(rng.rand(2, 32, 48, 3), jnp.float32)
+    plain = ResNetBackbone(arch="resnet50", space_to_depth_stem=False)
+    s2d = ResNetBackbone(arch="resnet50", space_to_depth_stem=True)
+    params = plain.init(jax.random.PRNGKey(0), x)
+    # identical param trees (same names, shapes, init values)
+    params_s2d = s2d.init(jax.random.PRNGKey(0), x)
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(params_s2d),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(ka))
+    out_p = plain.apply(params, x)
+    out_s = s2d.apply(params, x)
+    for key in ("c3", "c4", "c5"):
+        np.testing.assert_allclose(
+            np.asarray(out_s[key]), np.asarray(out_p[key]), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_space_to_depth_stem_odd_size_falls_back(rng):
+    """odd H or W cannot space-to-depth; the stem silently uses the plain
+    path and still meets the stride contract."""
+    x = jnp.asarray(rng.rand(1, 33, 47, 3), jnp.float32)
+    rn = ResNetBackbone(arch="resnet50", space_to_depth_stem=True)
+    variables = jax.eval_shape(lambda: rn.init(jax.random.PRNGKey(0), x))
+    out = jax.eval_shape(lambda v: rn.apply(v, x), variables)
+    assert out["c4"].shape[1:3] == (np.ceil(33 / 16), np.ceil(47 / 16))
+
+
 def test_frozen_bn_fold_matches_torch_eval_bn(rng):
     """scale/bias folding must reproduce torch BatchNorm2d.eval()."""
     c = 8
