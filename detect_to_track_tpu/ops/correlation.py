@@ -455,8 +455,13 @@ def _plan(b, h, w, c, d_max, c_cap=512):
     grid = (b, hp // tile_h, cp // c_blk)
     # manual-DMA'd buffers need tiling-aligned shapes: the apron'd width is
     # padded to a sublane multiple (feature maps; W+2d is second-minor) or a
-    # lane multiple (gradient planes; W+2d is minor).
-    w8 = _round_up(w + 2 * d_max, 8)
+    # lane multiple (gradient planes; W+2d is minor). The alignment is
+    # env-overridable (D2T_CORR_W8_ALIGN=128 pads the halo width to a full
+    # lane tile: the per-displacement dot's N dim then fully utilizes the
+    # MXU output tile at the cost of ~33% more halo DMA traffic; zero-padded
+    # columns contribute zero to every extracted band, so results are
+    # unchanged -- pinned by the oracle tests under this env).
+    w8 = _round_up(w + 2 * d_max, _env_cap("D2T_CORR_W8_ALIGN", 8))
     w128 = _round_up(w + 2 * d_max, 128)
     return tile_h, hp, c_blk, cp, grid, w8, w128
 
