@@ -106,6 +106,16 @@ class Config:
     # loss ("warn" | "raise" | "skip"). The reference would train on NaNs
     # silently (no checks anywhere, SURVEY.md §5).
     NAN_POLICY: str = "warn"
+    # failure PREVENTION: host-RSS watchdog. After each epoch the trainer
+    # compares the process peak RSS against this bound (GB); past it, it
+    # checkpoints and invokes `trainer.on_host_memory_limit` (train.py
+    # re-execs itself with --resume). Guards long runs against host-side
+    # memory growth outside our control -- measured: the remote-TPU (axon
+    # tunnel) client retains EVERY host->device transfer's bytes until
+    # process exit (~batch-size per step; PERF.md "host memory"), which
+    # OOM-killed a 2000-step run at 130 GB. -1 = auto (70% of MemTotal),
+    # 0 = disabled, >0 = explicit bound in GB.
+    HOST_RSS_LIMIT_GB: float = -1.0
 
     # parallelism: data-parallel mesh size (1 = single chip).
     NUM_DEVICES: int = 1

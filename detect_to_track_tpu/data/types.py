@@ -94,7 +94,9 @@ class PaddedFrame(NamedTuple):
 class PaddedPairBatch(NamedTuple):
     """a batch of frame pairs ready for the jitted train/eval step."""
 
-    images: np.ndarray  # (B, 2, H, W, 3) float32 in [0, 1]
+    images: np.ndarray  # (B, 2, H, W, 3) float32 in [0,1] OR uint8 [0,255]
+    #   (uint8 batches are normalized on device by forward_losses; PIL
+    #    sources pack as uint8 for 4x less host->device transfer)
     labels: PaddedFrame  # arrays shaped (B, 2, L, ...)
 
 

@@ -53,7 +53,9 @@ def detect_pairs_batched(
     frame batch exactly like the training step).
 
     Args:
-        images: (P, 2, H, W, 3) float32 in [0, 1].
+        images: (P, 2, H, W, 3) float32 in [0, 1] OR uint8 in [0, 255]
+            (uint8 normalizes on device -- 4x less host->device transfer,
+            exact for integer-valued sources; same contract as detect_clip).
         anchors: (|A|, 4).
 
     Returns PairDetections with a leading P axis on every field.
@@ -62,6 +64,8 @@ def detect_pairs_batched(
     """
     p, two, h, w, _ = images.shape
     assert two == 2
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
     x = images.reshape(p * 2, h, w, 3)
 
     fmaps = model.apply(variables, x, method="backbone")
@@ -273,10 +277,17 @@ class Detector:
             return im.astype(np.float32)
         from .utils import image_to_input
 
-        return image_to_input(im, self.cfg.INPUT_SHAPE)
+        # PIL sources upload as uint8; the jitted graph runs the exact /255
+        return image_to_input(im, self.cfg.INPUT_SHAPE, as_uint8=True)
 
     def __call__(self, im0, im1) -> Tuple[np.ndarray, ...]:
-        x = np.stack([self._to_array(im0), self._to_array(im1)])
+        a0, a1 = self._to_array(im0), self._to_array(im1)
+        if a0.dtype != a1.dtype:
+            # mixed PIL/array pair: normalize the uint8 side on host
+            # (np.stack would promote uint8 VALUES 0-255 into the floats)
+            a0 = a0.astype(np.float32) / 255.0 if a0.dtype == np.uint8 else a0
+            a1 = a1.astype(np.float32) / 255.0 if a1.dtype == np.uint8 else a1
+        x = np.stack([a0, a1])
         out = self._fwd(self.variables, jnp.asarray(x), self.anchors)
         confs = np.asarray(out.confs)
         boxes = np.asarray(out.boxes)

@@ -158,11 +158,14 @@ class ResNetBackbone(nn.Module):
     # run the stem as a 4x4/s1 conv over a 2x2 space-to-depth input instead
     # of 7x7/s2 over (H,W,3). Exactly equivalent math (the 7x7 kernel is
     # zero-padded to 8x8 and regrouped), but the MXU sees a 12-channel input
-    # at half spatial -- the 3-channel layout-bound stem conv and the
-    # full-resolution input layout copy both disappear from the step trace
-    # (PERF.md round 3: ~6.4 ms/step at b8). Falls back to the plain stem
-    # when H or W is odd.
-    space_to_depth_stem: bool = True
+    # at half spatial. MEASURED SLOWER on this XLA version: the
+    # (B,H/2,2,W/2,2,3)->(...,12) transpose lowers to a minor-dim-2 copy
+    # chain costing ~46 ms/step at b8 -- far more than the ~6.4 ms input
+    # pipeline it was meant to remove (PERF.md round 3). Kept off by
+    # default; the exact-equivalence rewrite and its tests remain as the
+    # basis for a host-side or conv-engine s2d. Falls back to the plain
+    # stem when H or W is odd.
+    space_to_depth_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:

@@ -82,7 +82,16 @@ def forward_losses(
     b, two, h, w, _ = batch.images.shape
     assert two == 2
     lbl = batch.labels
-    x = batch.images.reshape(b * 2, h, w, 3)  # frame f of pair p at 2p+f
+    imgs = batch.images
+    if imgs.dtype == jnp.uint8:
+        # uint8 transfer path: frames ship to the device as uint8 (4x less
+        # host->device traffic than float32 -- and 4x less per-transfer host
+        # memory retained by remote-TPU clients, see PERF.md "host memory").
+        # XLA lowers /255 as multiply-by-reciprocal: inputs land within
+        # 1 ulp of the host float path (pinned by
+        # test_uint8_batch_matches_float).
+        imgs = imgs.astype(jnp.float32) / 255.0
+    x = imgs.reshape(b * 2, h, w, 3)  # frame f of pair p at 2p+f
 
     flat = lambda a: a.reshape((b * 2,) + a.shape[2:])
     boxes_f, classes_f = flat(lbl.boxes), flat(lbl.classes)
@@ -298,7 +307,12 @@ class BatchLoader:
             if isinstance(inst.im, np.ndarray):
                 ims.append(inst.im.astype(np.float32))
             else:
-                ims.append(image_to_input(inst.im, self.cfg.INPUT_SHAPE))
+                # PIL sources are natively uint8: pack uint8 and let the
+                # device do the exact /255 (forward_losses). numpy stacking
+                # promotes to float32 if a batch ever mixes array sources.
+                ims.append(
+                    image_to_input(inst.im, self.cfg.INPUT_SHAPE, as_uint8=True)
+                )
             overflow = len(inst.labels) - self.cfg.MAX_LABELS
             if overflow > 0:
                 if self.dropped_labels == 0:
@@ -309,6 +323,13 @@ class BatchLoader:
                     )
                 self.dropped_labels += overflow
             frames.append(pack_labels(inst.labels, self.cfg.MAX_LABELS))
+        if len({a.dtype for a in ims}) > 1:
+            # mixed uint8/float sources: normalize on host (np.stack would
+            # silently promote uint8 VALUES 0-255 into the float batch)
+            ims = [
+                a.astype(np.float32) / 255.0 if a.dtype == np.uint8 else a
+                for a in ims
+            ]
         return np.stack(ims), frames
 
     def __iter__(self) -> Iterator[PaddedPairBatch]:
@@ -321,6 +342,11 @@ class BatchLoader:
                 ims, frames = self._pack_pair(self.manager[int(idx)])
                 images.append(ims)
                 labels.append(frames)
+            if len({a.dtype for a in images}) > 1:
+                images = [
+                    a.astype(np.float32) / 255.0 if a.dtype == np.uint8 else a
+                    for a in images
+                ]
             stack = lambda get: np.stack(
                 [np.stack([get(f0), get(f1)]) for f0, f1 in labels]
             )
@@ -444,6 +470,10 @@ class DetectTrackTrainer:
         self.iters_no_improvement = 0
         self._max_iters = float("inf")
         self._coefs = jnp.asarray(cfg.COEFS, jnp.float32)
+        # host-RSS watchdog hook: called (after a checkpoint) when the
+        # process exceeds cfg.HOST_RSS_LIMIT_GB. train.py installs an
+        # exec-restart; None just warns. See config.HOST_RSS_LIMIT_GB.
+        self.on_host_memory_limit: Optional[Callable[[], None]] = None
 
     # -- logging (wandb if available, else JSONL + stdout; the reference is
     # wandb-only, trainer.py:340-346) --
@@ -633,6 +663,10 @@ class DetectTrackTrainer:
         path = Path(path or self.output_dir / "ckpt").absolute()
         ckptr = ocp.StandardCheckpointer()
         self.state = ckptr.restore(path, self.state)
+        # rewind progress accounting to the restored step so a resumed
+        # run's --max-iters means "total instances", not "more instances"
+        # (essential for the RSS-watchdog exec-restart to terminate).
+        self.n_iters = int(self.state.step) * self.cfg.BATCH_SIZE
 
     def step(self) -> None:
         trn_loss = self.train()
@@ -647,6 +681,42 @@ class DetectTrackTrainer:
         else:
             self.iters_no_improvement += 1
 
+    def _host_rss_limit_gb(self) -> float:
+        lim = self.cfg.HOST_RSS_LIMIT_GB
+        if lim == 0:
+            return float("inf")
+        if lim > 0:
+            return float(lim)
+        try:  # auto: 70% of MemTotal
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    if line.startswith("MemTotal"):
+                        return 0.7 * int(line.split()[1]) / 1e6
+        except OSError:
+            pass
+        return float("inf")
+
+    def _check_host_memory(self) -> None:
+        """failure prevention (config.HOST_RSS_LIMIT_GB): checkpoint and
+        hand off to `on_host_memory_limit` (train.py: exec-restart with
+        --resume) before host memory growth kills the run. Motivated by
+        remote-TPU clients that retain every host->device transfer until
+        process exit (measured; PERF.md 'host memory')."""
+        import resource
+
+        rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+        limit = self._host_rss_limit_gb()
+        if rss_gb <= limit:
+            return
+        print(
+            f"WARNING: host peak RSS {rss_gb:.1f} GB exceeds "
+            f"HOST_RSS_LIMIT_GB={limit:.1f}; checkpointing at step "
+            f"{int(self.state.step)}"
+        )
+        self.checkpoint()
+        if self.on_host_memory_limit is not None:
+            self.on_host_memory_limit()
+
     def run(self, max_iters: float = float("inf")) -> None:
         self._max_iters = max_iters
         while not (
@@ -654,3 +724,9 @@ class DetectTrackTrainer:
             or self.n_iters >= max_iters
         ):
             self.step()
+            if (
+                self.iters_no_improvement > self.cfg.PATIENCE
+                or self.n_iters >= max_iters
+            ):
+                break  # done -- don't exec-restart just to exit
+            self._check_host_memory()

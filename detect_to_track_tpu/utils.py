@@ -11,13 +11,16 @@ import numpy as np
 
 
 def image_to_input(
-    im, net_input_shape: Union[int, Tuple[int, int]]
+    im, net_input_shape: Union[int, Tuple[int, int]], as_uint8: bool = False
 ) -> np.ndarray:
-    """PIL image -> (H, W, 3) float32 in [0, 1] network input.
+    """PIL image -> (H, W, 3) network input.
 
-    The reference composes torchvision Resize + ToTensor
-    (reference utils.py:171-178); normalization lives in the backbone
-    (models/resnet.py), matching the reference's Normalizer placement.
+    as_uint8=False: float32 in [0, 1] (the reference's torchvision
+    Resize + ToTensor, reference utils.py:171-178; normalization lives in
+    the backbone, matching the reference's Normalizer placement).
+    as_uint8=True: the resized uint8 array itself -- the /255 runs on
+    device (forward_losses), which is the exact same fp32 op, with 4x less
+    host->device transfer.
     """
     from PIL import Image
 
@@ -25,6 +28,8 @@ def image_to_input(
         net_input_shape = (net_input_shape, net_input_shape)
     h, w = net_input_shape
     im = im.convert("RGB").resize((w, h), Image.BILINEAR)
+    if as_uint8:
+        return np.asarray(im, np.uint8)
     return np.asarray(im, np.float32) / 255.0
 
 

@@ -43,6 +43,53 @@ def test_nan_policy_skip_reports_rollback(capsys):
     assert "skipping update" in capsys.readouterr().out
 
 
+class _WatchdogTrainerish:
+    """just enough of DetectTrackTrainer to exercise the host-RSS
+    watchdog (_check_host_memory): real limit derivation, stubbed
+    checkpoint, recorded callback."""
+
+    from detect_to_track_tpu.trainer import DetectTrackTrainer as _T
+
+    _check_host_memory = _T._check_host_memory
+    _host_rss_limit_gb = _T._host_rss_limit_gb
+
+    def __init__(self, limit_gb):
+        import jax.numpy as jnp
+
+        self.cfg = Config(HOST_RSS_LIMIT_GB=limit_gb)
+        self.state = type("S", (), {"step": jnp.asarray(3)})()
+        self.checkpoints = 0
+        self.restarts = 0
+        self.on_host_memory_limit = self._restart
+
+    def checkpoint(self):
+        self.checkpoints += 1
+
+    def _restart(self):
+        self.restarts += 1
+
+
+def test_host_rss_watchdog_triggers_checkpoint_and_restart(capsys):
+    """any live process exceeds a 1 MB limit: the watchdog must checkpoint
+    FIRST, then invoke the restart hook."""
+    t = _WatchdogTrainerish(limit_gb=0.001)
+    t._check_host_memory()
+    assert t.checkpoints == 1 and t.restarts == 1
+    assert "HOST_RSS_LIMIT_GB" in capsys.readouterr().out
+
+
+def test_host_rss_watchdog_disabled_and_auto():
+    t = _WatchdogTrainerish(limit_gb=0)  # 0 = disabled
+    t._check_host_memory()
+    assert t.checkpoints == 0 and t.restarts == 0
+    assert t._host_rss_limit_gb() == float("inf")
+    auto = _WatchdogTrainerish(limit_gb=-1)  # auto: 70% of MemTotal
+    lim = auto._host_rss_limit_gb()
+    assert 0 < lim < float("inf")
+    auto._check_host_memory()  # tests run far below 70% of RAM
+    assert auto.checkpoints == 0
+
+
 def test_prefetch_propagates_producer_exception():
     """a crash in decode/packing must abort training with the original
     error, not silently end the epoch (VERDICT r1 weak #6)."""

@@ -81,6 +81,62 @@ def test_batch_loader_shapes(setup):
     assert len(loader) == 2
 
 
+def test_uint8_batch_matches_float(setup):
+    """uint8-transferred images (device-side /255) must match the float
+    path's losses to float32 precision: XLA lowers the /255 as a
+    multiply-by-reciprocal, so normalized inputs land within 1 ulp of the
+    host-divided floats. Guards the 4x-smaller transfer path (PIL sources
+    pack as uint8; see forward_losses)."""
+    cfg, model, fresh, _, batch = setup
+    from detect_to_track_tpu.trainer import make_eval_step
+
+    q = np.clip(np.rint(np.asarray(batch.images) * 255.0), 0, 255)
+    b_u8 = batch._replace(images=q.astype(np.uint8))
+    b_f32 = batch._replace(
+        images=q.astype(np.float32) / np.float32(255.0)
+    )
+    params = fresh()["params"]
+    estep = make_eval_step(model, cfg)
+    d_u8 = jax.device_get(estep(params, b_u8))
+    d_f32 = jax.device_get(estep(params, b_f32))
+    for k, a in d_u8.asdict().items():
+        np.testing.assert_allclose(
+            np.asarray(a),
+            np.asarray(d_f32.asdict()[k]),
+            rtol=1e-4,
+            atol=1e-7,
+            err_msg=k,
+        )
+
+
+def test_pil_sources_pack_uint8():
+    """BatchLoader packs PIL-backed instances as uint8 (the transfer-lean
+    path); mixed batches promote to float with correct scaling."""
+    from PIL import Image
+
+    from detect_to_track_tpu.trainer import BatchLoader
+
+    class _Inst:
+        def __init__(self, im, labels=()):
+            self.im = im
+            self.labels = list(labels)
+
+    class _PILManager:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            rng = np.random.RandomState(i)
+            im = Image.fromarray(
+                (rng.rand(32, 48, 3) * 255).astype(np.uint8)
+            )
+            return _Inst(im), _Inst(im)
+
+    loader = BatchLoader(_PILManager(), 2, TINY, seed=0)
+    batch = next(iter(loader))
+    assert batch.images.dtype == np.uint8
+
+
 def test_train_step_runs_and_loss_decreases(setup):
     cfg, model, fresh, loader, batch = setup
     variables = fresh()
@@ -209,3 +265,6 @@ def test_trainer_step_and_checkpoint_roundtrip(setup, tmp_path):
         jax.tree_util.tree_leaves(stepped), jax.tree_util.tree_leaves(restored)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ...and rewinds progress accounting, so a resumed --max-iters is a
+    # TOTAL budget (the RSS-watchdog exec-restart relies on this).
+    assert trainer.n_iters == int(restored.step) * cfg.BATCH_SIZE

@@ -127,6 +127,23 @@ def main() -> None:
     )
     if args.resume:
         trainer.restore()
+
+    def _exec_restart() -> None:
+        """host-RSS watchdog action: re-exec this process with --resume.
+        The trainer has already checkpointed; the compilation cache (if
+        JAX_COMPILATION_CACHE_DIR is set) makes the restart cheap. Works
+        around remote-TPU clients retaining every host->device transfer
+        (see config.HOST_RSS_LIMIT_GB)."""
+        import os
+        import sys
+
+        argv = list(sys.argv)
+        if "--resume" not in argv:
+            argv.append("--resume")
+        print(f"re-exec for host-memory hygiene: {argv}", flush=True)
+        os.execv(sys.executable, [sys.executable] + argv)
+
+    trainer.on_host_memory_limit = _exec_restart
     trainer.run(max_iters=args.max_iters)
 
 
