@@ -84,9 +84,14 @@ def main() -> None:
         n_obj = rng.randint(1, 4)
         cls = rng.choice(len(wnids), n_obj)
         colors = rng.randint(100, 255, (n_obj, 3)).astype(np.uint8)
-        pos = rng.rand(n_obj, 2) * [w - 300, h - 300] + 50
-        size = rng.rand(n_obj, 2) * 150 + 80
-        vel = rng.randn(n_obj, 2) * 12
+        # canvas-relative geometry so small trees (e.g. 320x192 for fast
+        # learnability runs) generate as well as the 1280x720 default
+        smin, smax = int(0.12 * min(w, h)), int(0.4 * min(w, h))
+        pos = rng.rand(n_obj, 2) * [
+            max(1, w - smax - 40), max(1, h - smax - 40)
+        ] + 20
+        size = rng.rand(n_obj, 2) * (smax - smin) + smin
+        vel = rng.randn(n_obj, 2) * (0.015 * min(w, h))
 
         for f in range(args.frames):
             objs = []
@@ -126,11 +131,14 @@ def main() -> None:
         cls = rng.choice(len(wnids), n_obj)
         colors = rng.randint(100, 255, (n_obj, 3)).astype(np.uint8)
         objs = []
+        smin, smax = int(0.12 * min(w, h)), int(0.4 * min(w, h))
         for o in range(n_obj):
-            x0 = rng.randint(0, w - 250)
-            y0 = rng.randint(0, h - 250)
+            s1 = int(rng.randint(smin, smax))
+            s2 = int(rng.randint(smin, smax))
+            x0 = int(rng.randint(0, max(1, w - s1 - 1)))
+            y0 = int(rng.randint(0, max(1, h - s2 - 1)))
             objs.append(
-                (wnids[cls[o]], (x0, y0, x0 + rng.randint(80, 220), y0 + rng.randint(80, 220)), None)
+                (wnids[cls[o]], (x0, y0, x0 + s1, y0 + s2), None)
             )
         Image.fromarray(_render(rng, w, h, objs, colors)).save(
             root / "Data/DET/train" / f"{iid}.JPEG", quality=88
