@@ -274,20 +274,23 @@ class Detector:
 
     def _to_array(self, im) -> np.ndarray:
         if isinstance(im, np.ndarray):
-            return im.astype(np.float32)
+            # uint8 arrays stay uint8 (the jitted graph runs the /255 --
+            # casting to float here WITHOUT dividing would feed 0-255
+            # values into a [0,1] graph); floats are already normalized.
+            return im if im.dtype == np.uint8 else im.astype(np.float32)
         from .utils import image_to_input
 
-        # PIL sources upload as uint8; the jitted graph runs the exact /255
+        # PIL sources upload as uint8; the jitted graph runs the /255
         return image_to_input(im, self.cfg.INPUT_SHAPE, as_uint8=True)
 
     def __call__(self, im0, im1) -> Tuple[np.ndarray, ...]:
-        a0, a1 = self._to_array(im0), self._to_array(im1)
-        if a0.dtype != a1.dtype:
-            # mixed PIL/array pair: normalize the uint8 side on host
-            # (np.stack would promote uint8 VALUES 0-255 into the floats)
-            a0 = a0.astype(np.float32) / 255.0 if a0.dtype == np.uint8 else a0
-            a1 = a1.astype(np.float32) / 255.0 if a1.dtype == np.uint8 else a1
-        x = np.stack([a0, a1])
+        from .utils import promote_mixed_image_dtypes
+
+        x = np.stack(
+            promote_mixed_image_dtypes(
+                [self._to_array(im0), self._to_array(im1)]
+            )
+        )
         out = self._fwd(self.variables, jnp.asarray(x), self.anchors)
         confs = np.asarray(out.confs)
         boxes = np.asarray(out.boxes)

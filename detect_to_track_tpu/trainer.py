@@ -51,7 +51,7 @@ from .inference import Detector
 from .losses import DTLoss, rcnn_loss, rpn_loss, track_loss
 from .models import DetectTrackModule, resnet_trainable_mask
 from .ops.nms import batched_proposal_filter
-from .utils import image_to_input, split_pairs
+from .utils import image_to_input, promote_mixed_image_dtypes, split_pairs
 
 
 class TrainState(struct.PyTreeNode):
@@ -292,8 +292,13 @@ class BatchLoader:
         self.manager = manager
         self.batch_size = batch_size
         self.cfg = cfg
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
         self.shuffle = shuffle
+        # epoch counter: each epoch's shuffle derives from (seed, epoch), so
+        # an exec-restarted process (host-RSS watchdog) that restores the
+        # epoch continues the permutation SEQUENCE instead of replaying
+        # epoch 0's order forever.
+        self.epoch = 0
         # labels beyond MAX_LABELS are dropped by pack_labels; keep the
         # overflow observable (VERDICT r2 weak #6: crowded DET stills can
         # exceed the capacity silently).
@@ -305,11 +310,16 @@ class BatchLoader:
         frames = []
         for inst in (inst0, inst1):
             if isinstance(inst.im, np.ndarray):
-                ims.append(inst.im.astype(np.float32))
+                # uint8 arrays stay uint8 (the device runs the /255,
+                # forward_losses); float arrays are already [0, 1].
+                ims.append(
+                    inst.im
+                    if inst.im.dtype == np.uint8
+                    else inst.im.astype(np.float32)
+                )
             else:
                 # PIL sources are natively uint8: pack uint8 and let the
-                # device do the exact /255 (forward_losses). numpy stacking
-                # promotes to float32 if a batch ever mixes array sources.
+                # device do the /255 (forward_losses).
                 ims.append(
                     image_to_input(inst.im, self.cfg.INPUT_SHAPE, as_uint8=True)
                 )
@@ -323,18 +333,15 @@ class BatchLoader:
                     )
                 self.dropped_labels += overflow
             frames.append(pack_labels(inst.labels, self.cfg.MAX_LABELS))
-        if len({a.dtype for a in ims}) > 1:
-            # mixed uint8/float sources: normalize on host (np.stack would
-            # silently promote uint8 VALUES 0-255 into the float batch)
-            ims = [
-                a.astype(np.float32) / 255.0 if a.dtype == np.uint8 else a
-                for a in ims
-            ]
-        return np.stack(ims), frames
+        return np.stack(promote_mixed_image_dtypes(ims)), frames
 
     def __iter__(self) -> Iterator[PaddedPairBatch]:
         n = len(self.manager)
-        order = self.rng.permutation(n) if self.shuffle else np.arange(n)
+        rng = np.random.RandomState(
+            (self.seed * 1_000_003 + self.epoch) % (2**32)
+        )
+        self.epoch += 1
+        order = rng.permutation(n) if self.shuffle else np.arange(n)
         bs = self.batch_size
         for s in range(0, n - bs + 1, bs):
             images, labels = [], []
@@ -342,11 +349,7 @@ class BatchLoader:
                 ims, frames = self._pack_pair(self.manager[int(idx)])
                 images.append(ims)
                 labels.append(frames)
-            if len({a.dtype for a in images}) > 1:
-                images = [
-                    a.astype(np.float32) / 255.0 if a.dtype == np.uint8 else a
-                    for a in images
-                ]
+            images = promote_mixed_image_dtypes(images)
             stack = lambda get: np.stack(
                 [np.stack([get(f0), get(f1)]) for f0, f1 in labels]
             )
@@ -533,6 +536,11 @@ class DetectTrackTrainer:
                         }
                     )
                     window = DTLoss()
+                    # mid-epoch watchdog: epochs longer than the leak
+                    # headroom must still autosave before the OOM killer
+                    # arrives (the motivating failure died at step ~910,
+                    # mid-epoch; PERF.md "host memory").
+                    self._check_host_memory()
                 if self.n_iters >= self._max_iters:
                     break  # stop mid-epoch too (smoke runs, budget caps)
         finally:
@@ -648,6 +656,23 @@ class DetectTrackTrainer:
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, jax.device_get(self.state), force=True)
         ckptr.wait_until_finished()
+        # sidecar: host-side training-loop state the params pytree can't
+        # carry -- lets an exec-restart (or any resume) continue early
+        # stopping, progress accounting, and the shuffle SEQUENCE.
+        Path(f"{path}.meta.json").write_text(
+            json.dumps(
+                {
+                    "step": int(self.state.step),
+                    "n_iters": self.n_iters,
+                    "best_val_loss": self.best_val_loss,
+                    "iters_no_improvement": self.iters_no_improvement,
+                    "loader_epoch": getattr(self.trn_loader, "epoch", 0),
+                    "dropped_labels": getattr(
+                        self.trn_loader, "dropped_labels", 0
+                    ),
+                }
+            )
+        )
 
         if default and self.cfg.CHECKPOINT_KEEP > 0:
             hist = path.parent / f"ckpt_step_{int(self.state.step):08d}"
@@ -660,13 +685,46 @@ class DetectTrackTrainer:
     def restore(self, path: Optional[str] = None) -> None:
         import orbax.checkpoint as ocp
 
-        path = Path(path or self.output_dir / "ckpt").absolute()
+        if path is None:
+            # prefer the NEWER of latest-best `ckpt` and the watchdog's
+            # `ckpt_autosave` (by saved step; meta sidecar avoids a double
+            # restore). Ties go to `ckpt` (the best model).
+            best_p, best_step = None, -1
+            for name in ("ckpt_autosave", "ckpt"):
+                p = (self.output_dir / name).absolute()
+                if not p.exists():
+                    continue
+                try:
+                    step = json.loads(Path(f"{p}.meta.json").read_text())[
+                        "step"
+                    ]
+                except (OSError, KeyError, ValueError):
+                    step = 0
+                if step >= best_step:
+                    best_p, best_step = p, step
+            path = best_p or self.output_dir / "ckpt"
+        path = Path(path).absolute()
         ckptr = ocp.StandardCheckpointer()
         self.state = ckptr.restore(path, self.state)
         # rewind progress accounting to the restored step so a resumed
         # run's --max-iters means "total instances", not "more instances"
-        # (essential for the RSS-watchdog exec-restart to terminate).
+        # (essential for the RSS-watchdog exec-restart to terminate); the
+        # meta sidecar additionally restores early-stopping state and the
+        # loader's shuffle-sequence position.
         self.n_iters = int(self.state.step) * self.cfg.BATCH_SIZE
+        try:
+            meta = json.loads(Path(f"{path}.meta.json").read_text())
+        except (OSError, ValueError):
+            return
+        self.n_iters = int(meta.get("n_iters", self.n_iters))
+        self.best_val_loss = float(meta.get("best_val_loss", float("inf")))
+        self.iters_no_improvement = int(meta.get("iters_no_improvement", 0))
+        if hasattr(self.trn_loader, "epoch"):
+            self.trn_loader.epoch = int(meta.get("loader_epoch", 0))
+        if hasattr(self.trn_loader, "dropped_labels"):
+            self.trn_loader.dropped_labels = int(
+                meta.get("dropped_labels", 0)
+            )
 
     def step(self) -> None:
         trn_loss = self.train()
@@ -696,24 +754,41 @@ class DetectTrackTrainer:
             pass
         return float("inf")
 
+    @staticmethod
+    def _host_rss_gb() -> float:
+        """CURRENT resident set in GB. ru_maxrss is wrong here: the
+        lifetime peak survives execve on Linux, so a restarted process
+        would re-trip the limit forever."""
+        try:
+            with open("/proc/self/statm") as f:
+                return int(f.read().split()[1]) * 4096 / 1e9
+        except (OSError, IndexError, ValueError):
+            import resource
+
+            return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
     def _check_host_memory(self) -> None:
-        """failure prevention (config.HOST_RSS_LIMIT_GB): checkpoint and
-        hand off to `on_host_memory_limit` (train.py: exec-restart with
+        """failure prevention (config.HOST_RSS_LIMIT_GB): autosave and hand
+        off to `on_host_memory_limit` (train.py: exec-restart with
         --resume) before host memory growth kills the run. Motivated by
         remote-TPU clients that retain every host->device transfer until
-        process exit (measured; PERF.md 'host memory')."""
-        import resource
-
-        rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+        process exit (measured; PERF.md 'host memory'). Saves to
+        `ckpt_autosave` -- NOT the latest-best `ckpt`, which only val
+        improvements may overwrite; restore() picks the newer of the two.
+        Runs both between epochs and at every LOG_EVERY window, so epochs
+        longer than the leak headroom still checkpoint in time; optimizer
+        progress is preserved across mid-epoch restarts (n_iters/step ride
+        the checkpoint), only the partial epoch's shuffle position resets."""
+        rss_gb = self._host_rss_gb()
         limit = self._host_rss_limit_gb()
         if rss_gb <= limit:
             return
         print(
-            f"WARNING: host peak RSS {rss_gb:.1f} GB exceeds "
-            f"HOST_RSS_LIMIT_GB={limit:.1f}; checkpointing at step "
+            f"WARNING: host RSS {rss_gb:.1f} GB exceeds "
+            f"HOST_RSS_LIMIT_GB={limit:.1f}; autosaving at step "
             f"{int(self.state.step)}"
         )
-        self.checkpoint()
+        self.checkpoint(self.output_dir / "ckpt_autosave")
         if self.on_host_memory_limit is not None:
             self.on_host_memory_limit()
 

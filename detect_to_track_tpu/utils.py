@@ -33,6 +33,22 @@ def image_to_input(
     return np.asarray(im, np.float32) / 255.0
 
 
+def promote_mixed_image_dtypes(arrays):
+    """normalize a mixed uint8/float image-array list to a single dtype:
+    uint8 entries become float32/255 on host. np.stack on a mixed list
+    would silently promote uint8 VALUES 0-255 into the float batch. The
+    single-dtype case passes through untouched (uint8 stays uint8 for the
+    transfer-lean device-/255 path)."""
+    if len({a.dtype for a in arrays}) <= 1:
+        return arrays
+    return [
+        a.astype(np.float32) / np.float32(255.0)
+        if a.dtype == np.uint8
+        else a.astype(np.float32)
+        for a in arrays
+    ]
+
+
 def get_subset_lengths(dataset_length: int, subset_length: int):
     """lengths of dataset splits (reference utils.py:181-187)."""
     n_full = dataset_length // subset_length

@@ -52,30 +52,47 @@ class _WatchdogTrainerish:
 
     _check_host_memory = _T._check_host_memory
     _host_rss_limit_gb = _T._host_rss_limit_gb
+    _host_rss_gb = staticmethod(_T._host_rss_gb)
 
     def __init__(self, limit_gb):
+        from pathlib import Path
+
         import jax.numpy as jnp
 
         self.cfg = Config(HOST_RSS_LIMIT_GB=limit_gb)
         self.state = type("S", (), {"step": jnp.asarray(3)})()
+        self.output_dir = Path("/tmp")
         self.checkpoints = 0
         self.restarts = 0
         self.on_host_memory_limit = self._restart
 
-    def checkpoint(self):
+    def checkpoint(self, path=None):
         self.checkpoints += 1
+        self.checkpoint_path = path
 
     def _restart(self):
         self.restarts += 1
 
 
 def test_host_rss_watchdog_triggers_checkpoint_and_restart(capsys):
-    """any live process exceeds a 1 MB limit: the watchdog must checkpoint
-    FIRST, then invoke the restart hook."""
+    """any live process exceeds a 1 MB limit: the watchdog must autosave
+    FIRST (to ckpt_autosave, never clobbering the latest-best ckpt), then
+    invoke the restart hook."""
     t = _WatchdogTrainerish(limit_gb=0.001)
     t._check_host_memory()
     assert t.checkpoints == 1 and t.restarts == 1
+    assert str(t.checkpoint_path).endswith("ckpt_autosave")
     assert "HOST_RSS_LIMIT_GB" in capsys.readouterr().out
+
+
+def test_host_rss_reads_current_not_peak():
+    """the watchdog must read CURRENT RSS: ru_maxrss (lifetime peak)
+    survives execve, so a restarted process would re-trip forever."""
+    import resource
+
+    cur = _WatchdogTrainerish._host_rss_gb()
+    peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    assert 0 < cur <= peak * 1.05
 
 
 def test_host_rss_watchdog_disabled_and_auto():

@@ -14,6 +14,8 @@ def load(d):
     rows = []
     with open(f"{d}/metrics.jsonl") as f:
         for line in f:
+            if not line.strip():
+                continue
             r = json.loads(line)
             if "itr_o" in r:
                 rows.append(r)
@@ -25,6 +27,9 @@ def main() -> None:
     keys = sys.argv[3:] or ["itr_o", "itr_c", "itr_r", "itr_t"]
     a, b = load(a_dir), load(b_dir)
     n = min(len(a), len(b))
+    if n == 0:
+        print(f"no itr_* rows yet (A: {len(a)}, B: {len(b)})")
+        return
     picks = sorted({0, n // 4, n // 2, 3 * n // 4, n - 1})
     print("| iter | " + " | ".join(f"A {k} / B {k}" for k in keys) + " |")
     print("|" + "---|" * (len(keys) + 1))
@@ -33,7 +38,11 @@ def main() -> None:
         cells = [
             f"{ra[k]:.4g} / {rb[k]:.4g}" for k in keys
         ]
-        print(f"| {int(ra['iter'])} | " + " | ".join(cells) + " |")
+        it = int(ra["iter"])
+        if int(rb["iter"]) != it:
+            # different logging cadences: label both so the row is honest
+            it = f"{it}/{int(rb['iter'])}"
+        print(f"| {it} | " + " | ".join(cells) + " |")
 
 
 if __name__ == "__main__":
