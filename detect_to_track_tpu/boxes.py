@@ -42,43 +42,31 @@ def box_areas(boxes, xp=jnp):
 def compute_ious(boxes_a, boxes_b, xp=jnp):
     """pairwise IoU matrix.
 
-    Dimension-split on purpose: stacking the per-dimension lo/hi into
-    (|A|, |B|, 2) arrays forces XLA onto a minor-dim-2 layout that blocks
-    fusion -- at NMS capacity (3072^2 x batch) the stacked form materialized
-    a >1 GB f32 intermediate (measured, PERF.md r3). Split per dimension,
-    the whole chain fuses into one pass over (|A|, |B|) tiles. Values are
-    bit-identical to the stacked form.
-
     Args:
         boxes_a: (|A|, 4) ijhw boxes.
         boxes_b: (|B|, 4) ijhw boxes.
 
     Returns:
         ious: (|A|, |B|); zero where the union is empty.
-    """
-    ai0, ai1 = boxes_a[..., 0] - boxes_a[..., 2] / 2, boxes_a[..., 0] + boxes_a[..., 2] / 2
-    aj0, aj1 = boxes_a[..., 1] - boxes_a[..., 3] / 2, boxes_a[..., 1] + boxes_a[..., 3] / 2
-    bi0, bi1 = boxes_b[..., 0] - boxes_b[..., 2] / 2, boxes_b[..., 0] + boxes_b[..., 2] / 2
-    bj0, bj1 = boxes_b[..., 1] - boxes_b[..., 3] / 2, boxes_b[..., 1] + boxes_b[..., 3] / 2
 
-    ih = xp.clip(
-        xp.minimum(ai1[..., :, None], bi1[..., None, :])
-        - xp.maximum(ai0[..., :, None], bi0[..., None, :]),
-        0.0,
-        None,
-    )
-    iw = xp.clip(
-        xp.minimum(aj1[..., :, None], bj1[..., None, :])
-        - xp.maximum(aj0[..., :, None], bj0[..., None, :]),
-        0.0,
-        None,
-    )
-    inter = ih * iw  # (|A|, |B|)
+    Form note (round 3, measured): this (A,B,2)-stacked form materializes
+    a large minor-dim-2 intermediate (f32[16,3072,3072,2] in the b8 step
+    trace) -- but a dimension-split rewrite that avoids it made the FULL
+    train step 9 ms/step SLOWER (140.4 -> 149.5 ms at b8, same night,
+    bit-identical values; see git 0cfc49f and its revert). XLA schedules
+    the stacked form into fewer passes over the 3072x3072 matrices. Keep
+    this form unless a full-step measurement says otherwise.
+    """
+    a = ijhw_to_ijij(boxes_a, xp)[:, None, :]  # (|A|, 1, 4)
+    b = ijhw_to_ijij(boxes_b, xp)[None, :, :]  # (1, |B|, 4)
+
+    lo = xp.maximum(a[..., :2], b[..., :2])  # (|A|, |B|, 2)
+    hi = xp.minimum(a[..., 2:], b[..., 2:])  # (|A|, |B|, 2)
+    inter_hw = xp.clip(hi - lo, 0.0, None)  # (|A|, |B|, 2)
+    inter = inter_hw[..., 0] * inter_hw[..., 1]  # (|A|, |B|)
 
     union = (
-        box_areas(boxes_a, xp)[..., :, None]
-        + box_areas(boxes_b, xp)[..., None, :]
-        - inter
+        box_areas(boxes_a, xp)[:, None] + box_areas(boxes_b, xp)[None, :] - inter
     )
     return xp.where(union > 0, inter / xp.where(union > 0, union, 1.0), 0.0)
 
