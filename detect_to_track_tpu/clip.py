@@ -136,10 +136,18 @@ class ClipTracker:
 
         arrs = [self.detector._to_array(f) for f in frames]
         if self.uint8_upload:
+            # _to_array returns PIL/uint8 sources as uint8 ALREADY (0-255):
+            # only float [0,1] arrays need the rescale (rescaling uint8
+            # again would saturate nearly every pixel to 255).
             arrs = [
-                np.clip(np.rint(a * 255.0), 0, 255).astype(np.uint8)
+                a
+                if a.dtype == np.uint8
+                else np.clip(np.rint(a * 255.0), 0, 255).astype(np.uint8)
                 for a in arrs
             ]
+        # HOST_S2D: space-to-depth each frame on the host before upload
+        # (same bytes; detect_clip consumes the (H/2, W/2, 12) layout).
+        arrs = [self.detector._maybe_s2d(a) for a in arrs]
         n = len(arrs)
         chunk = min(self.frame_chunk, n)
 

@@ -100,6 +100,15 @@ class Config:
 
     # compute precision: "float32" or "bfloat16" for backbone/head matmuls.
     COMPUTE_DTYPE: str = "bfloat16"
+    # input pipeline: when True the HOST packs frames 2x2 space-to-depth
+    # (utils.space_to_depth2, (B,2,H,W,3) -> (B,2,H/2,W/2,12), uint8) and
+    # the backbone runs its exactly-equivalent 4x4/s1 stem on the pre-s2d
+    # layout. Removes the device-side (B,H,W,3) layout copy AND the
+    # layout-bound 3-channel 7x7/s2 stem conv from the step without the
+    # on-device transpose that made `space_to_depth_stem` a regression
+    # (PERF.md round 3). Same bytes through the tunnel. Requires even
+    # INPUT_SHAPE.
+    HOST_S2D: bool = False
     # rematerialize backbone blocks in backward (memory for FLOPs).
     REMAT: bool = False
     # failure detection: what to do when a training step yields a non-finite

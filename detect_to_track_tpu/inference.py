@@ -62,11 +62,11 @@ def detect_pairs_batched(
 
     Mirrors reference inference.py:54-121 stage by stage.
     """
-    p, two, h, w, _ = images.shape
+    p, two, h, w, c = images.shape  # c=12: host pre-s2d layout (HOST_S2D)
     assert two == 2
     if images.dtype == jnp.uint8:
         images = images.astype(jnp.float32) / 255.0
-    x = images.reshape(p * 2, h, w, 3)
+    x = images.reshape(p * 2, h, w, c)
 
     fmaps = model.apply(variables, x, method="backbone")
 
@@ -246,12 +246,27 @@ class Detector:
             functools.partial(detect_pairs_batched, model, cfg=cfg)
         )
 
+    def _maybe_s2d(self, x):
+        """HOST_S2D: space-to-depth on the HOST before upload (same bytes,
+        no device transpose; Config.HOST_S2D). Device arrays and already-
+        transformed (C=12) inputs pass through."""
+        if (
+            getattr(self.cfg, "HOST_S2D", False)
+            and isinstance(x, np.ndarray)
+            and x.shape[-1] == 3
+        ):
+            from .utils import space_to_depth2
+
+            return space_to_depth2(x)
+        return x
+
     def detect_pairs(self, pairs) -> PairDetections:
         """batched raw API: pairs is (P, 2, H, W, 3) numpy/PIL-free input;
         returns padded PairDetections with leading P axis (host trimming is
         the caller's job -- see ClipTracker)."""
         return self._fwd_batched(
-            self.variables, jnp.asarray(pairs), self.anchors
+            self.variables, jnp.asarray(self._maybe_s2d(np.asarray(pairs))),
+            self.anchors,
         )
 
     def detect_clip(self, frames) -> ClipDetections:
@@ -270,6 +285,8 @@ class Detector:
             self._fwd_clip[f] = jax.jit(
                 functools.partial(detect_clip, self.model, cfg=self.cfg)
             )
+        if isinstance(frames, np.ndarray):
+            frames = self._maybe_s2d(frames)
         return self._fwd_clip[f](self.variables, jnp.asarray(frames), self.anchors)
 
     def _to_array(self, im) -> np.ndarray:
@@ -291,7 +308,9 @@ class Detector:
                 [self._to_array(im0), self._to_array(im1)]
             )
         )
-        out = self._fwd(self.variables, jnp.asarray(x), self.anchors)
+        out = self._fwd(
+            self.variables, jnp.asarray(self._maybe_s2d(x)), self.anchors
+        )
         confs = np.asarray(out.confs)
         boxes = np.asarray(out.boxes)
         valid = np.asarray(out.valid)

@@ -169,19 +169,35 @@ class ResNetBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        """x: (B, H, W, 3) in [0, 1] -> {'c3','c4','c5'} NHWC feature maps."""
+        """x: (B, H, W, 3) in [0, 1] -> {'c3','c4','c5'} NHWC feature maps.
+
+        A (B, H/2, W/2, 12) input is accepted as a PRE-space-to-depth
+        image (utils.space_to_depth2's host layout, channel = vi*6+vj*3+c):
+        the stem then runs as the equivalent 4x4/s1 conv with no device
+        transpose at all -- the fast form of `space_to_depth_stem` (whose
+        on-device transpose is the measured regression, PERF.md round 3).
+        Output dims match the plain stem exactly.
+        """
         blocks, groups, base_width = ARCHS[self.arch]
 
+        pre_s2d = x.shape[-1] == 12
         if self.normalize_input:
+            # per-RGB-channel normalization; for pre-s2d input the RGB
+            # channel is minor within each (vi, vj) group, so the (3,)
+            # constants tile to (12,).
             mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
             std = jnp.asarray(IMAGENET_STD, x.dtype)
+            if pre_s2d:
+                mean, std = jnp.tile(mean, 4), jnp.tile(std, 4)
             x = (x - mean) / std
         x = x.astype(self.dtype)
 
         # stem (always frozen; never matches the reference's layer regex)
         stem_w = _StemConvKernel((7, 7, 3, 64), name="conv1")()
         B, H, W = x.shape[0], x.shape[1], x.shape[2]
-        if self.space_to_depth_stem and H % 2 == 0 and W % 2 == 0:
+        if pre_s2d or (
+            self.space_to_depth_stem and H % 2 == 0 and W % 2 == 0
+        ):
             # y[p,q] = sum_{i,j<7} w[i,j] x[2p+i-3, 2q+j-3]. Zero-pad w to
             # 8x8 at the leading edge (w8[i']=w[i'-1]) so the tap offset
             # i'-4 = 2u+v factors exactly into a block index u in {-2..1}
@@ -189,8 +205,13 @@ class ResNetBackbone(nn.Module):
             # with asymmetric padding (2,1) over z[a,b,(vi,vj,c)] =
             # x[2a+vi, 2b+vj, c]. Zero padding is preserved: the only taps
             # reaching x rows < -3 carry the zero kernel row.
-            z = x.reshape(B, H // 2, 2, W // 2, 2, 3)
-            z = z.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 12)
+            if pre_s2d:
+                z = x  # host already produced the (H/2, W/2, 12) layout
+            else:
+                z = x.reshape(B, H // 2, 2, W // 2, 2, 3)
+                z = z.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    B, H // 2, W // 2, 12
+                )
             w8 = jnp.pad(stem_w, ((1, 0), (1, 0), (0, 0), (0, 0)))
             wz = (
                 w8.reshape(4, 2, 4, 2, 3, 64)

@@ -79,7 +79,7 @@ def forward_losses(
     batch.images: (B, 2, H, W, 3); batch.labels.*: (B, 2, L, ...).
     """
     variables = {"params": params}
-    b, two, h, w, _ = batch.images.shape
+    b, two, h, w, c = batch.images.shape  # c: 3, or 12 when HOST_S2D packed
     assert two == 2
     lbl = batch.labels
     imgs = batch.images
@@ -91,7 +91,7 @@ def forward_losses(
         # 1 ulp of the host float path (pinned by
         # test_uint8_batch_matches_float).
         imgs = imgs.astype(jnp.float32) / 255.0
-    x = imgs.reshape(b * 2, h, w, 3)  # frame f of pair p at 2p+f
+    x = imgs.reshape(b * 2, h, w, c)  # frame f of pair p at 2p+f
 
     flat = lambda a: a.reshape((b * 2,) + a.shape[2:])
     boxes_f, classes_f = flat(lbl.boxes), flat(lbl.classes)
@@ -355,8 +355,16 @@ class BatchLoader:
             )
             from .data.types import PaddedFrame
 
+            packed = np.stack(images)
+            if getattr(self.cfg, "HOST_S2D", False):
+                # pre-space-to-depth on the host: the backbone's 4x4/s1
+                # stem consumes this layout directly (no device transpose,
+                # no (B,H,W,3) layout copy; see Config.HOST_S2D).
+                from .utils import space_to_depth2
+
+                packed = space_to_depth2(packed)
             yield PaddedPairBatch(
-                images=np.stack(images),
+                images=packed,
                 labels=PaddedFrame(
                     boxes=stack(lambda f: f.boxes),
                     classes=stack(lambda f: f.classes),

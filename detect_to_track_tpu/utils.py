@@ -76,3 +76,36 @@ def split_pairs(x):
     """
     r = x.reshape(x.shape[0] // 2, 2, *x.shape[1:])
     return r[:, 0], r[:, 1]
+
+
+def space_to_depth2(x):
+    """host-side 2x2 space-to-depth: (..., H, W, 3) -> (..., H/2, W/2, 12).
+
+    Channel layout contract (shared with ResNetBackbone's pre-s2d stem):
+    z[..., a, b, vi*6 + vj*3 + c] = x[..., 2a+vi, 2b+vj, c]. Runs on the
+    HOST (numpy) so the device never sees the (B,H/2,2,W/2,2,3) transpose,
+    which lowers to a minor-dim-2 copy chain on this XLA version
+    (PERF.md round 3, space-to-depth stem). dtype is preserved (uint8
+    frames stay uint8 -- same bytes through the tunnel as the plain
+    layout).
+    """
+    import numpy as np
+
+    *lead, h, w, c = x.shape
+    if h % 2 or w % 2 or c != 3:
+        raise ValueError(f"space_to_depth2 needs even HxW and C=3, got {x.shape}")
+    z = np.asarray(x).reshape(*lead, h // 2, 2, w // 2, 2, c)
+    z = np.moveaxis(z, -4, -3)  # (..., h/2, w/2, 2, 2, c)
+    return np.ascontiguousarray(z).reshape(*lead, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space2(z):
+    """inverse of space_to_depth2: (..., H/2, W/2, 12) -> (..., H, W, 3)."""
+    import numpy as np
+
+    *lead, h2, w2, c12 = z.shape
+    if c12 != 12:
+        raise ValueError(f"depth_to_space2 needs C=12, got {z.shape}")
+    x = np.asarray(z).reshape(*lead, h2, w2, 2, 2, 3)
+    x = np.moveaxis(x, -3, -4)  # (..., h2, 2, w2, 2, 3)
+    return np.ascontiguousarray(x).reshape(*lead, h2 * 2, w2 * 2, 3)

@@ -167,3 +167,61 @@ def test_clip_tracker_device_linking_matches_host(detector, rng):
     for (span_a, boxes_a), (span_b, boxes_b) in zip(dev, host):
         assert span_a == span_b
         np.testing.assert_allclose(boxes_a, boxes_b, rtol=1e-6, atol=1e-7)
+
+
+def test_clip_tracker_pil_frames_not_saturated(detector, rng):
+    """PIL frames arrive from _to_array as uint8 ALREADY; the uint8_upload
+    path must not rescale them again (regression: a second *255 saturated
+    ~100% of pixels to 255, so every PIL-sourced clip ran on white
+    frames). Pin: PIL frames == the equivalent float frames."""
+    from PIL import Image
+
+    from detect_to_track_tpu.clip import ClipTracker
+
+    det, cfg = detector
+    h, w = cfg.INPUT_SHAPE
+    raw = [rng.randint(0, 256, (h, w, 3)).astype(np.uint8) for _ in range(4)]
+    pil = [Image.fromarray(a) for a in raw]
+    flt = [a.astype(np.float32) / 255.0 for a in raw]
+    a = ClipTracker(det, min_len=1, uint8_upload=True)(pil)
+    b = ClipTracker(det, min_len=1, uint8_upload=False)(flt)
+    assert len(a) == len(b) and len(a) > 0
+    for (span_a, boxes_a), (span_b, boxes_b) in zip(a, b):
+        assert span_a == span_b
+        np.testing.assert_allclose(boxes_a, boxes_b, rtol=1e-4, atol=1e-5)
+
+
+def test_detector_host_s2d_matches_plain(detector, rng):
+    """HOST_S2D: space-to-depth on the host + the 4x4/s1 stem must produce
+    the same detections as the plain path (identity rewrite; see
+    Config.HOST_S2D and utils.space_to_depth2)."""
+    from detect_to_track_tpu.inference import Detector
+
+    det, cfg = detector
+    det_s2d = Detector(det.model, det.variables, cfg.replace(HOST_S2D=True))
+    h, w = cfg.INPUT_SHAPE
+    im0 = rng.rand(h, w, 3).astype(np.float32)
+    im1 = rng.rand(h, w, 3).astype(np.float32)
+    out_p = det(im0, im1)
+    out_s = det_s2d(im0, im1)
+    for a, b in zip(out_p, out_s):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_clip_tracker_host_s2d_matches_plain(detector, rng):
+    """HOST_S2D through the clip path: chunked uploads ship the pre-s2d
+    layout and detect_clip consumes it; tubelets must match the plain
+    path."""
+    from detect_to_track_tpu.clip import ClipTracker
+    from detect_to_track_tpu.inference import Detector
+
+    det, cfg = detector
+    det_s2d = Detector(det.model, det.variables, cfg.replace(HOST_S2D=True))
+    h, w = cfg.INPUT_SHAPE
+    frames = [rng.rand(h, w, 3).astype(np.float32) for _ in range(4)]
+    a = ClipTracker(det, min_len=1, uint8_upload=False)(frames)
+    b = ClipTracker(det_s2d, min_len=1, uint8_upload=False)(frames)
+    assert len(a) == len(b)
+    for (span_a, boxes_a), (span_b, boxes_b) in zip(a, b):
+        assert span_a == span_b
+        np.testing.assert_allclose(boxes_a, boxes_b, rtol=1e-4, atol=1e-5)

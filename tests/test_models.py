@@ -314,3 +314,21 @@ def test_tracker_fused_head_matches_materialized(rng):
         g_f,
         g_m,
     )
+
+
+def test_backbone_accepts_host_s2d_input(rng):
+    """a (B, H/2, W/2, 12) input (utils.space_to_depth2 host layout) must
+    run the 4x4/s1 stem with NO device transpose and match the plain
+    (B, H, W, 3) path exactly -- including the tiled ImageNet
+    normalization constants."""
+    from detect_to_track_tpu.utils import space_to_depth2
+
+    x = np.asarray(rng.rand(2, 32, 48, 3), np.float32)
+    rn = ResNetBackbone(arch="resnet50")
+    params = rn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out_p = rn.apply(params, jnp.asarray(x))
+    out_s = rn.apply(params, jnp.asarray(space_to_depth2(x)))
+    for key in ("c3", "c4", "c5"):
+        np.testing.assert_allclose(
+            np.asarray(out_s[key]), np.asarray(out_p[key]), rtol=1e-4, atol=1e-5
+        )

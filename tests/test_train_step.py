@@ -268,3 +268,38 @@ def test_trainer_step_and_checkpoint_roundtrip(setup, tmp_path):
     # ...and rewinds progress accounting, so a resumed --max-iters is a
     # TOTAL budget (the RSS-watchdog exec-restart relies on this).
     assert trainer.n_iters == int(restored.step) * cfg.BATCH_SIZE
+
+
+def test_host_s2d_loss_matches_plain(setup):
+    """HOST_S2D: the loader packs (B, 2, H/2, W/2, 12) and the eval loss
+    must equal the plain (B, 2, H, W, 3) path (identity stem rewrite +
+    tiled normalization; Config.HOST_S2D)."""
+    from detect_to_track_tpu.data.synthetic import SyntheticVIDManager
+
+    cfg, model, fresh, _, batch = setup
+    cfg_s = cfg.replace(HOST_S2D=True)
+    manager = SyntheticVIDManager(
+        n_samples=4, image_hw=cfg.INPUT_SHAPE, n_classes=cfg.N_CLASSES
+    )
+    loader_s = BatchLoader(manager, cfg.BATCH_SIZE, cfg_s, seed=0)
+    batch_s = next(iter(loader_s))
+    h, w = cfg.INPUT_SHAPE
+    assert batch_s.images.shape == (2, 2, h // 2, w // 2, 12)
+    assert batch_s.images.dtype == batch.images.dtype
+    # identical underlying pixels (same manager/seed, layout-only change)
+    from detect_to_track_tpu.utils import depth_to_space2
+
+    np.testing.assert_array_equal(
+        depth_to_space2(batch_s.images), np.asarray(batch.images)
+    )
+
+    variables = fresh()
+    ev_p = make_eval_step(model, cfg)
+    ev_s = make_eval_step(model, cfg_s)
+    dtl_p = ev_p(variables["params"], jax.device_put(batch))
+    dtl_s = ev_s(variables["params"], jax.device_put(batch_s))
+    for k in dtl_p.asdict():
+        np.testing.assert_allclose(
+            float(dtl_p.asdict()[k]), float(dtl_s.asdict()[k]),
+            rtol=1e-4, atol=1e-6, err_msg=k,
+        )
