@@ -30,7 +30,9 @@ def export_detector(
 
     The exported function signature is images (P, 2, H, W, 3) float32 ->
     PairDetections tuple (confs, boxes, valid, tracks); weights and anchors
-    are closed over as constants.
+    are closed over as constants. Under cfg.HOST_S2D the input spec is the
+    host pre-s2d layout (P, 2, H/2, W/2, 12) instead (the serving host
+    applies utils.space_to_depth2 before the call, like Detector does).
     """
     from jax import export as jexport
 
@@ -43,7 +45,12 @@ def export_detector(
         return tuple(out)
 
     h, w = cfg.INPUT_SHAPE
-    spec = jax.ShapeDtypeStruct((pair_batch, 2, h, w, 3), jnp.float32)
+    if getattr(cfg, "HOST_S2D", False):
+        spec = jax.ShapeDtypeStruct(
+            (pair_batch, 2, h // 2, w // 2, 12), jnp.float32
+        )
+    else:
+        spec = jax.ShapeDtypeStruct((pair_batch, 2, h, w, 3), jnp.float32)
     exported = jexport.export(jax.jit(fn))(spec)
     Path(path).write_bytes(exported.serialize())
 
