@@ -201,3 +201,26 @@ def test_dlaplace_distribution():
     np.testing.assert_allclose(
         (draws == 2).mean(), p0_expected * np.exp(-2 * a), atol=0.01
     )
+
+
+def test_space_to_depth2_roundtrip_and_contract():
+    """host s2d helpers: exact roundtrip, dtype preservation (uint8 frames
+    must stay uint8 through the tunnel), and the channel-layout contract
+    shared with ResNetBackbone's pre-s2d stem (vi*6 + vj*3 + c)."""
+    import numpy as np
+
+    from detect_to_track_tpu.utils import depth_to_space2, space_to_depth2
+
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 255, (2, 2, 8, 12, 3)).astype(np.uint8)
+    z = space_to_depth2(x)
+    assert z.shape == (2, 2, 4, 6, 12) and z.dtype == np.uint8
+    np.testing.assert_array_equal(depth_to_space2(z), x)
+    assert z[0, 0, 1, 2, 1 * 6 + 0 * 3 + 2] == x[0, 0, 3, 4, 2]
+    # odd sizes / wrong channels refuse loudly
+    import pytest
+
+    with pytest.raises(ValueError):
+        space_to_depth2(x[:, :, :7])
+    with pytest.raises(ValueError):
+        depth_to_space2(x)
