@@ -109,6 +109,12 @@ class Config:
     # (PERF.md round 3). Same bytes through the tunnel. Requires even
     # INPUT_SHAPE.
     HOST_S2D: bool = False
+    # BatchLoader decode fan-out: JPEG decode + resize threads per batch.
+    # 0 = auto (min(BATCH_SIZE, cpus)), 1 = serial. Warm-cache pack is
+    # ~10 ms/frame/core at 608x1200 vs ~9 ms/frame device step at b8: a
+    # 1-core host is input-bound even with the prefetch overlap, so
+    # multi-core hosts should fan out (PIL decode/resize release the GIL).
+    LOADER_WORKERS: int = 0
     # rematerialize backbone blocks in backward (memory for FLOPs).
     REMAT: bool = False
     # failure detection: what to do when a training step yields a non-finite

@@ -303,11 +303,36 @@ class BatchLoader:
         # overflow observable (VERDICT r2 weak #6: crowded DET stills can
         # exceed the capacity silently).
         self.dropped_labels = 0
+        self._pool = None
 
-    def _pack_pair(self, pair) -> Tuple[np.ndarray, Tuple]:
+    def _decode_pool(self):
+        """thread pool for the per-pair decode/resize/pack fan-out.
+        cfg.LOADER_WORKERS: 0 = auto (min(batch, cpus)), 1 = serial
+        (debugging), N = exactly N threads."""
+        workers = getattr(self.cfg, "LOADER_WORKERS", 0)
+        if workers == 0:
+            import os
+
+            workers = min(self.batch_size, os.cpu_count() or 1)
+        if workers <= 1:
+            return None
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=workers, thread_name_prefix="d2t-decode"
+            )
+        return self._pool
+
+    def _pack_pair(self, pair) -> Tuple[np.ndarray, Tuple, int]:
+        """decode/resize/pack one instance pair. Pure (thread-safe): the
+        heavy JPEG decode + resize runs here, so __iter__ can fan pairs out
+        over a thread pool (PIL releases the GIL in decode/resize).
+        Returns (images (2,H,W,C), label frames, dropped-label count)."""
         inst0, inst1 = pair
         ims = []
         frames = []
+        dropped = 0
         for inst in (inst0, inst1):
             if isinstance(inst.im, np.ndarray):
                 # uint8 arrays stay uint8 (the device runs the /255,
@@ -325,15 +350,18 @@ class BatchLoader:
                 )
             overflow = len(inst.labels) - self.cfg.MAX_LABELS
             if overflow > 0:
-                if self.dropped_labels == 0:
-                    print(
-                        f"WARNING: frame has {len(inst.labels)} labels; "
-                        f"dropping {overflow} beyond MAX_LABELS="
-                        f"{self.cfg.MAX_LABELS} (counted in dropped_labels)"
-                    )
-                self.dropped_labels += overflow
+                dropped += overflow
             frames.append(pack_labels(inst.labels, self.cfg.MAX_LABELS))
-        return np.stack(promote_mixed_image_dtypes(ims)), frames
+        ims = np.stack(promote_mixed_image_dtypes(ims))
+        if getattr(self.cfg, "HOST_S2D", False):
+            # pre-space-to-depth on the host: the backbone's 4x4/s1 stem
+            # consumes this layout directly (no device transpose, no
+            # (B,H,W,3) layout copy; see Config.HOST_S2D). Per-pair so it
+            # parallelizes with the decode.
+            from .utils import space_to_depth2
+
+            ims = space_to_depth2(ims)
+        return ims, frames, dropped
 
     def __iter__(self) -> Iterator[PaddedPairBatch]:
         n = len(self.manager)
@@ -343,28 +371,41 @@ class BatchLoader:
         self.epoch += 1
         order = rng.permutation(n) if self.shuffle else np.arange(n)
         bs = self.batch_size
+        pool = self._decode_pool()
         for s in range(0, n - bs + 1, bs):
-            images, labels = [], []
-            for idx in order[s : s + bs]:
-                ims, frames = self._pack_pair(self.manager[int(idx)])
-                images.append(ims)
-                labels.append(frames)
+            # sampling stays SERIAL (manager __getitem__ draws from its own
+            # rng; concurrent draws would be racy and non-reproducible) --
+            # it is cheap: PIL opens lazily, XML parse is small. The heavy
+            # decode+resize (_pack_pair) fans out over the pool. Measured
+            # at the 608x1200 working point: ~10 ms/frame warm-cache pack
+            # on one core vs ~9 ms/frame device step at b8 -- a single-
+            # core host is just barely input-bound, so multi-core hosts
+            # need the pool to keep the device fed (batches are identical
+            # either way; pinned by test_loader_workers_deterministic).
+            pairs = [self.manager[int(idx)] for idx in order[s : s + bs]]
+            packed = (
+                list(pool.map(self._pack_pair, pairs))
+                if pool is not None
+                else [self._pack_pair(p) for p in pairs]
+            )
+            images = [ims for ims, _, _ in packed]
+            labels = [frames for _, frames, _ in packed]
+            for _, _, dropped in packed:
+                if dropped and self.dropped_labels == 0:
+                    print(
+                        f"WARNING: frame(s) exceed MAX_LABELS="
+                        f"{self.cfg.MAX_LABELS}; dropping overflow "
+                        f"(counted in dropped_labels)"
+                    )
+                self.dropped_labels += dropped
             images = promote_mixed_image_dtypes(images)
             stack = lambda get: np.stack(
                 [np.stack([get(f0), get(f1)]) for f0, f1 in labels]
             )
             from .data.types import PaddedFrame
 
-            packed = np.stack(images)
-            if getattr(self.cfg, "HOST_S2D", False):
-                # pre-space-to-depth on the host: the backbone's 4x4/s1
-                # stem consumes this layout directly (no device transpose,
-                # no (B,H,W,3) layout copy; see Config.HOST_S2D).
-                from .utils import space_to_depth2
-
-                packed = space_to_depth2(packed)
             yield PaddedPairBatch(
-                images=packed,
+                images=np.stack(images),
                 labels=PaddedFrame(
                     boxes=stack(lambda f: f.boxes),
                     classes=stack(lambda f: f.classes),

@@ -224,3 +224,27 @@ def test_space_to_depth2_roundtrip_and_contract():
         space_to_depth2(x[:, :, :7])
     with pytest.raises(ValueError):
         depth_to_space2(x)
+
+
+def test_loader_workers_deterministic(tmp_path):
+    """the decode thread pool must not change WHAT is packed: same seed =>
+    bit-identical batches with LOADER_WORKERS 1 vs 8 (sampling stays
+    serial; only decode/resize fan out)."""
+    import numpy as np
+
+    from detect_to_track_tpu.config import Config
+    from detect_to_track_tpu.data.synthetic import SyntheticVIDManager
+    from detect_to_track_tpu.trainer import BatchLoader
+
+    mk = lambda: SyntheticVIDManager(
+        n_samples=8, image_hw=(32, 48), n_classes=4, seed=11
+    )
+    cfg1 = Config(BATCH_SIZE=4, MAX_LABELS=8, LOADER_WORKERS=1)
+    cfg8 = Config(BATCH_SIZE=4, MAX_LABELS=8, LOADER_WORKERS=8)
+    b1 = list(BatchLoader(mk(), 4, cfg1, seed=3))
+    b8 = list(BatchLoader(mk(), 4, cfg8, seed=3))
+    assert len(b1) == len(b8) > 0
+    for a, b in zip(b1, b8):
+        np.testing.assert_array_equal(a.images, b.images)
+        np.testing.assert_array_equal(a.labels.boxes, b.labels.boxes)
+        np.testing.assert_array_equal(a.labels.mask, b.labels.mask)
