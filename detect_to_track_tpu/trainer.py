@@ -497,13 +497,15 @@ class DetectTrackTrainer:
             self.mesh = make_mesh(cfg.NUM_DEVICES, cfg.MESH_AXES)
             self.state = replicate(self.state, self.mesh)
             self._shard_batch = lambda b: shard_batch(b, self.mesh)
-            self._train_step_raw = make_parallel_train_step(
+            # uploads happen ahead of the step (double-buffered, train());
+            # _upload_batch places the batch with its final sharding so the
+            # jitted step never re-transfers.
+            self._upload_batch = self._shard_batch
+            self._train_step = make_parallel_train_step(
                 model, cfg, self.tx, self.mesh
             )
-            self._train_step = lambda s, b: self._train_step_raw(
-                s, self._shard_batch(b)
-            )
         else:
+            self._upload_batch = jax.device_put
             self._train_step = make_train_step(model, cfg, self.tx)
         self._eval_step = make_eval_step(model, cfg)
 
@@ -557,7 +559,19 @@ class DetectTrackTrainer:
             trace_ctx.__enter__()
         try:
             window = DTLoss()
-            for batch in prefetch(iter(self.trn_loader)):
+            # double-buffered batch uploads (same pattern as clip.py):
+            # jax.device_put is async, so batch N+1's host->device transfer
+            # rides while step N computes and while the device_get below
+            # waits on step N's losses. Without this the per-step loss sync
+            # serializes upload -> compute -> readback.
+            it = prefetch(iter(self.trn_loader))
+            nxt = next(it, None)
+            pending = self._upload_batch(nxt) if nxt is not None else None
+            while pending is not None:
+                nxt = next(it, None)
+                nxt_dev = self._upload_batch(nxt) if nxt is not None else None
+                batch = pending
+                pending = nxt_dev
                 # under NAN_POLICY="skip" the jitted step itself rolls back
                 # to the pre-step state on a non-finite loss (on-device
                 # select in make_train_step) -- the host only skips the
