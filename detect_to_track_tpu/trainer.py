@@ -630,9 +630,17 @@ class DetectTrackTrainer:
 
     def validate(self) -> DTLoss:
         val_loss = DTLoss()
-        for batch in prefetch(iter(self.val_loader)):
-            dtl = self._eval_step(self.state.params, batch)
+        # same double-buffered upload as train(): batch N+1's transfer
+        # rides while eval step N computes / reads back.
+        it = prefetch(iter(self.val_loader))
+        nxt = next(it, None)
+        pending = self._upload_batch(nxt) if nxt is not None else None
+        while pending is not None:
+            nxt = next(it, None)
+            nxt_dev = self._upload_batch(nxt) if nxt is not None else None
+            dtl = self._eval_step(self.state.params, pending)
             val_loss = val_loss + jax.device_get(dtl)
+            pending = nxt_dev
         return val_loss
 
     def _report_images(self) -> Dict[str, object]:
