@@ -264,9 +264,12 @@ class Detector:
         """batched raw API: pairs is (P, 2, H, W, 3) numpy/PIL-free input;
         returns padded PairDetections with leading P axis (host trimming is
         the caller's job -- see ClipTracker)."""
+        if isinstance(pairs, (np.ndarray, list, tuple)):
+            # host input: apply HOST_S2D here (device arrays pass through
+            # untouched -- never force a device->host copy).
+            pairs = self._maybe_s2d(np.asarray(pairs))
         return self._fwd_batched(
-            self.variables, jnp.asarray(self._maybe_s2d(np.asarray(pairs))),
-            self.anchors,
+            self.variables, jnp.asarray(pairs), self.anchors
         )
 
     def detect_clip(self, frames) -> ClipDetections:
