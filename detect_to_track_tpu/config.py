@@ -117,6 +117,14 @@ class Config:
     LOADER_WORKERS: int = 0
     # rematerialize backbone blocks in backward (memory for FLOPs).
     REMAT: bool = False
+    # gradient accumulation: split each batch into GRAD_ACCUM microbatches
+    # scanned sequentially inside the ONE jitted step (only one
+    # microbatch's activations live at a time -> effective batches beyond
+    # HBM; combine with REMAT for the biggest headroom). Dense-mean loss
+    # components compose exactly; masked-mean ones (RCNN/track) weight
+    # microbatches equally, like the reference's per-instance loop.
+    # BATCH_SIZE must divide by it.
+    GRAD_ACCUM: int = 1
     # failure detection: what to do when a training step yields a non-finite
     # loss ("warn" | "raise" | "skip"). The reference would train on NaNs
     # silently (no checks anywhere, SURVEY.md §5).

@@ -231,10 +231,62 @@ def make_train_step(
         dtl = forward_losses(model, params, batch, anchors, crosses, cfg)
         return dtl.to_scalar(coefs), dtl
 
-    def step(state: TrainState, batch: PaddedPairBatch):
-        (_, dtl), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch
+    def numer_fn(params, batch):
+        # UNNORMALIZED loss (coefs . losses, no /count): gradient
+        # accumulation sums these over microbatches and divides by the
+        # TOTAL count once, which equals the unsplit step exactly
+        # (to_scalar normalizes per-call, which would not).
+        dtl = forward_losses(model, params, batch, anchors, crosses, cfg)
+        vec = jnp.stack([dtl.o, dtl.b_rpn, dtl.c, dtl.b_rcnn, dtl.t])
+        return jnp.dot(coefs, vec.astype(jnp.float32)), dtl
+
+    accum = max(1, int(getattr(cfg, "GRAD_ACCUM", 1)))
+
+    def grads_and_losses(params, batch):
+        if accum == 1:
+            (_, dtl), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch
+            )
+            return grads, dtl
+        # gradient accumulation: scan over GRAD_ACCUM microbatches so only
+        # one microbatch's activations are live at a time (effective batch
+        # beyond HBM; pairs with REMAT). The dense-mean components (RPN)
+        # compose exactly; the masked-mean components (RCNN/track) weight
+        # each microbatch equally instead of each region equally -- the
+        # same per-instance weighting the reference's python loop applies
+        # (reference trainer.py:258-266). test_grad_accum_* pins both
+        # losses and updated params against the unsplit step.
+        b = batch.images.shape[0]
+        if b % accum:
+            raise ValueError(
+                f"BATCH_SIZE {b} must divide over GRAD_ACCUM {accum}"
+            )
+        chunks = jax.tree_util.tree_map(
+            lambda a: a.reshape((accum, b // accum) + a.shape[1:]), batch
         )
+        from .losses import DTLoss as _DTLoss
+
+        def body(carry, chunk):
+            gsum, dsum = carry
+            (_, dtl), g = jax.value_and_grad(numer_fn, has_aux=True)(
+                params, chunk
+            )
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+            return (gsum, dsum + dtl), None
+
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+        (gsum, dsum), _ = jax.lax.scan(body, (zero_g, _DTLoss()), chunks)
+        # forward_losses returns batch-MEAN components with count=1
+        # (DTLoss.single); renormalize the microbatch sums back to that
+        # convention so the accumulated step is indistinguishable from the
+        # unsplit one (per-instance means compose exactly over equal-size
+        # chunks).
+        grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+        dtl = jax.tree_util.tree_map(lambda x: x / accum, dsum)
+        return grads, dtl
+
+    def step(state: TrainState, batch: PaddedPairBatch):
+        grads, dtl = grads_and_losses(state.params, batch)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(

@@ -303,3 +303,52 @@ def test_host_s2d_loss_matches_plain(setup):
             float(dtl_p.asdict()[k]), float(dtl_s.asdict()[k]),
             rtol=1e-4, atol=1e-6, err_msg=k,
         )
+
+
+def test_grad_accum_matches_unsplit_step(setup):
+    """GRAD_ACCUM=2 must produce the same losses AND the same updated
+    params as the unsplit step on the same batch (numerator-sum /
+    total-count formulation; fp-reassociation tolerance only)."""
+    cfg, model, fresh, _, batch = setup
+    out = {}
+    for accum in (1, 2):
+        cfg_a = cfg.replace(GRAD_ACCUM=accum)
+        variables = fresh()
+        tx = make_optimizer(cfg_a, variables["params"])
+        step = make_train_step(model, cfg_a, tx)
+        state = TrainState(
+            params=variables["params"],
+            opt_state=tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        state, dtl = step(state, jax.device_put(batch))
+        out[accum] = (jax.device_get(state.params), jax.device_get(dtl))
+    p1, d1 = out[1]
+    p2, d2 = out[2]
+    for k in d1.asdict():
+        np.testing.assert_allclose(
+            float(d1.asdict()[k]), float(d2.asdict()[k]),
+            rtol=1e-5, atol=1e-7, err_msg=k,
+        )
+    assert float(d2.count) == 1.0  # DTLoss.single convention preserved
+    flat1 = jax.tree_util.tree_leaves_with_path(p1)
+    flat2 = jax.tree_util.tree_leaves_with_path(p2)
+    for (ka, a), (kb, b) in zip(flat1, flat2):
+        np.testing.assert_allclose(
+            a, b, rtol=1e-4, atol=1e-6, err_msg=str(ka)
+        )
+
+
+def test_grad_accum_rejects_indivisible_batch(setup):
+    cfg, model, fresh, _, batch = setup
+    cfg_a = cfg.replace(GRAD_ACCUM=3)  # BATCH_SIZE=2 not divisible
+    variables = fresh()
+    tx = make_optimizer(cfg_a, variables["params"])
+    step = make_train_step(model, cfg_a, tx)
+    state = TrainState(
+        params=variables["params"],
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    with pytest.raises(ValueError):
+        step(state, jax.device_put(batch))
