@@ -39,9 +39,10 @@ TINY = Config(
 )
 
 
-def tiny_model(cfg: Config) -> DetectTrackModule:
+def tiny_model(cfg: Config, **kw) -> DetectTrackModule:
     return DetectTrackModule(
         backbone_arch="resnet50",
+        **kw,
         n_anchors=cfg.n_anchors_per_cell,
         n_classes=cfg.N_CLASSES,
         k=cfg.K,
@@ -333,6 +334,40 @@ def test_grad_accum_matches_unsplit_step(setup):
     assert float(d2.count) == 1.0  # DTLoss.single convention preserved
     flat1 = jax.tree_util.tree_leaves_with_path(p1)
     flat2 = jax.tree_util.tree_leaves_with_path(p2)
+    for (ka, a), (kb, b) in zip(flat1, flat2):
+        np.testing.assert_allclose(
+            a, b, rtol=1e-4, atol=1e-6, err_msg=str(ka)
+        )
+
+
+def test_remat_matches_plain_step(setup):
+    """REMAT=True (rematerialized backbone blocks) must be a pure
+    memory/compute trade: identical losses and identical updated params
+    vs the plain step, from identical init."""
+    cfg, model, fresh, _, batch = setup
+    model_r = tiny_model(cfg, remat=True)
+    out = {}
+    for name, m in (("plain", model), ("remat", model_r)):
+        variables = fresh()
+        tx = make_optimizer(cfg, variables["params"])
+        step = make_train_step(m, cfg, tx)
+        state = TrainState(
+            params=variables["params"],
+            opt_state=tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        state, dtl = step(state, jax.device_put(batch))
+        out[name] = (jax.device_get(state.params), jax.device_get(dtl))
+    p1, d1 = out["plain"]
+    p2, d2 = out["remat"]
+    for k in d1.asdict():
+        np.testing.assert_allclose(
+            float(d1.asdict()[k]), float(d2.asdict()[k]),
+            rtol=1e-5, atol=1e-7, err_msg=k,
+        )
+    flat1 = jax.tree_util.tree_leaves_with_path(p1)
+    flat2 = jax.tree_util.tree_leaves_with_path(p2)
+    assert len(flat1) == len(flat2)  # remat must not change the param tree
     for (ka, a), (kb, b) in zip(flat1, flat2):
         np.testing.assert_allclose(
             a, b, rtol=1e-4, atol=1e-6, err_msg=str(ka)
