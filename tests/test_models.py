@@ -21,7 +21,7 @@ from detect_to_track_tpu.models.resnet import (
 )
 
 
-@pytest.mark.parametrize("arch", ["resnet50", "resnet101"])
+@pytest.mark.parametrize("arch", ["resnet50", "resnet101", "resnext50_32x4d"])
 def test_resnet_fm_strides(arch, rng):
     """c3/c4/c5 strides must be exactly 8/16/16 (the dilation trick;
     reference tests/test_resnet.py:9-29). Run at reduced resolution --

@@ -83,8 +83,13 @@ class _TorchResNet(tnn.Module):
         return c3, c4, c5
 
 
-def test_backbone_matches_torch_forward(rng):
-    arch = "resnet50"
+import pytest
+
+
+@pytest.mark.parametrize("arch", ["resnet50", "resnext50_32x4d"])
+def test_backbone_matches_torch_forward(arch, rng):
+    """resnext exercises grouped convs (feature_group_count) end to end --
+    the reference supports resnext archs too (reference models/resnet.py:14-16)."""
     sd = _fake_torch_state_dict(arch)
 
     tmodel = _TorchResNet(arch).eval()
