@@ -71,24 +71,21 @@ class ClipTracker:
         """jitted: ClipDetections -> ((F-1, D, D) link scores, (D,) frame-0
         init scores). One compile per chunk shape."""
         if self._chunk_scores_fn is None:
-            import functools
-
             import jax
-            import jax.numpy as jnp
 
             from .encoding import frcnn_box_decode
-            from .viterbi_device import NEG_INF, clip_link_scores
+            from .viterbi_device import clip_link_scores
 
             iou = self.link_iou_thresh
 
             def fn(out):
                 confs = out.confs[:, :, 1:].sum(-1)  # (F, D) class-summed
                 track_boxes = frcnn_box_decode(out.boxes[:-1], out.tracks)
-                seq, _ = clip_link_scores(
+                # init comes from clip_link_scores so the padded-slot
+                # convention has exactly one owner (viterbi_device.py).
+                return clip_link_scores(
                     confs, out.boxes, track_boxes, out.valid, iou
                 )
-                init = jnp.where(out.valid[0], confs[0], NEG_INF)
-                return seq, init
 
             self._chunk_scores_fn = jax.jit(fn)
         return self._chunk_scores_fn

@@ -264,10 +264,18 @@ class Detector:
         """batched raw API: pairs is (P, 2, H, W, 3) numpy/PIL-free input;
         returns padded PairDetections with leading P axis (host trimming is
         the caller's job -- see ClipTracker)."""
-        if isinstance(pairs, (np.ndarray, list, tuple)):
+        if isinstance(pairs, np.ndarray):
             # host input: apply HOST_S2D here (device arrays pass through
             # untouched -- never force a device->host copy).
-            pairs = self._maybe_s2d(np.asarray(pairs))
+            pairs = self._maybe_s2d(pairs)
+        elif isinstance(pairs, (list, tuple)):
+            # a list of HOST arrays packs on host (S2D applies); a list
+            # holding any device array stacks ON DEVICE -- np.asarray here
+            # would silently download every element through the tunnel.
+            if all(isinstance(p, np.ndarray) for p in pairs):
+                pairs = self._maybe_s2d(np.asarray(pairs))
+            else:
+                pairs = jnp.stack([jnp.asarray(p) for p in pairs])
         return self._fwd_batched(
             self.variables, jnp.asarray(pairs), self.anchors
         )

@@ -29,6 +29,8 @@ Semantics preserved (each vs. the reference):
 from __future__ import annotations
 
 import json
+import os
+import shutil
 from pathlib import Path
 from typing import Any, Callable, Dict, Iterator, Optional, Tuple
 
@@ -264,8 +266,6 @@ def make_train_step(
         chunks = jax.tree_util.tree_map(
             lambda a: a.reshape((accum, b // accum) + a.shape[1:]), batch
         )
-        from .losses import DTLoss as _DTLoss
-
         def body(carry, chunk):
             gsum, dsum = carry
             (_, dtl), g = jax.value_and_grad(numer_fn, has_aux=True)(
@@ -275,7 +275,7 @@ def make_train_step(
             return (gsum, dsum + dtl), None
 
         zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
-        (gsum, dsum), _ = jax.lax.scan(body, (zero_g, _DTLoss()), chunks)
+        (gsum, dsum), _ = jax.lax.scan(body, (zero_g, DTLoss()), chunks)
         # forward_losses returns batch-MEAN components with count=1
         # (DTLoss.single); renormalize the microbatch sums back to that
         # convention so the accumulated step is indistinguishable from the
@@ -363,8 +363,6 @@ class BatchLoader:
         (debugging), N = exactly N threads."""
         workers = getattr(self.cfg, "LOADER_WORKERS", 0)
         if workers == 0:
-            import os
-
             workers = min(self.batch_size, os.cpu_count() or 1)
         if workers <= 1:
             return None
@@ -718,7 +716,9 @@ class DetectTrackTrainer:
 
             def labelled(im, confs, boxes, top_n=3):
                 if isinstance(im, np.ndarray):
-                    im = Image.fromarray((im * 255).astype(np.uint8))
+                    if im.dtype != np.uint8:  # float [0,1] -> uint8
+                        im = (im * 255).astype(np.uint8)
+                    im = Image.fromarray(im)
                 else:
                     im = im.copy()
                 labels = [
@@ -770,8 +770,6 @@ class DetectTrackTrainer:
         model weights, trainer.py:358). The default path keeps a rotating
         step-tagged history of the last cfg.CHECKPOINT_KEEP saves next to
         the latest-best `ckpt` dir."""
-        import shutil
-
         import orbax.checkpoint as ocp
 
         default = path is None
@@ -805,27 +803,30 @@ class DetectTrackTrainer:
             for p in old[: -self.cfg.CHECKPOINT_KEEP]:
                 shutil.rmtree(p)
 
+    def _pick_restore_path(self) -> Path:
+        """prefer the most RECENTLY WRITTEN of latest-best `ckpt` and the
+        watchdog's `ckpt_autosave`. Wall-clock recency (sidecar mtime), not
+        saved step: a stale autosave left by a previous run in the same
+        OUTPUT_DIR can carry a higher step than this run's own fresh `ckpt`
+        and must lose to it. Ties go to `ckpt` (the best model)."""
+        best_p, best_mtime = None, -1.0
+        for name in ("ckpt_autosave", "ckpt"):
+            p = (self.output_dir / name).absolute()
+            if not p.exists():
+                continue
+            try:
+                mtime = Path(f"{p}.meta.json").stat().st_mtime
+            except OSError:
+                mtime = p.stat().st_mtime
+            if mtime >= best_mtime:
+                best_p, best_mtime = p, mtime
+        return best_p or self.output_dir / "ckpt"
+
     def restore(self, path: Optional[str] = None) -> None:
         import orbax.checkpoint as ocp
 
         if path is None:
-            # prefer the NEWER of latest-best `ckpt` and the watchdog's
-            # `ckpt_autosave` (by saved step; meta sidecar avoids a double
-            # restore). Ties go to `ckpt` (the best model).
-            best_p, best_step = None, -1
-            for name in ("ckpt_autosave", "ckpt"):
-                p = (self.output_dir / name).absolute()
-                if not p.exists():
-                    continue
-                try:
-                    step = json.loads(Path(f"{p}.meta.json").read_text())[
-                        "step"
-                    ]
-                except (OSError, KeyError, ValueError):
-                    step = 0
-                if step >= best_step:
-                    best_p, best_step = p, step
-            path = best_p or self.output_dir / "ckpt"
+            path = self._pick_restore_path()
         path = Path(path).absolute()
         ckptr = ocp.StandardCheckpointer()
         self.state = ckptr.restore(path, self.state)
@@ -883,8 +884,9 @@ class DetectTrackTrainer:
         lifetime peak survives execve on Linux, so a restarted process
         would re-trip the limit forever."""
         try:
+            page = os.sysconf("SC_PAGE_SIZE")  # 4K on x86, 16/64K on arm64
             with open("/proc/self/statm") as f:
-                return int(f.read().split()[1]) * 4096 / 1e9
+                return int(f.read().split()[1]) * page / 1e9
         except (OSError, IndexError, ValueError):
             import resource
 
@@ -928,3 +930,9 @@ class DetectTrackTrainer:
             ):
                 break  # done -- don't exec-restart just to exit
             self._check_host_memory()
+        # clean completion: drop the watchdog autosave so it cannot shadow
+        # a future run's checkpoints in a reused OUTPUT_DIR.
+        auto = self.output_dir / "ckpt_autosave"
+        if auto.exists():
+            shutil.rmtree(auto, ignore_errors=True)
+            Path(f"{auto}.meta.json").unlink(missing_ok=True)

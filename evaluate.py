@@ -88,7 +88,9 @@ def main() -> None:
         step = restored.get("step") if hasattr(restored, "get") else None
         return {"params": params}, step
 
-    if ckpt_paths:
+    if ckpt_paths and not (args.all_ckpts and len(ckpt_paths) > 1):
+        # single-checkpoint mode only: the --all-ckpts loop below restores
+        # each path itself (loading the last one here would restore it twice)
         variables, _ = load_ckpt(ckpt_paths[-1])
 
     if args.synthetic:
@@ -115,11 +117,17 @@ def main() -> None:
 
     if args.all_ckpts and len(ckpt_paths) > 1:
         # evaluate the whole rotating history, oldest first; the main ckpt
-        # (latest-best) prints last. One Detector per params set; the jitted
-        # forward is shared across restores (same shapes).
+        # (latest-best) prints last. ONE Detector whose params are swapped
+        # per restore: Detector.__init__ makes fresh jax.jit wrappers, so a
+        # new Detector per checkpoint would recompile the full graph every
+        # iteration (~minutes each through a remote-compile tunnel).
+        detector = None
         for path in ckpt_paths:
             variables, step = load_ckpt(path)
-            detector = Detector(model, variables, cfg)
+            if detector is None:
+                detector = Detector(model, variables, cfg)
+            else:
+                detector.variables = variables
             metrics = evaluate_detector(detector, manager, cfg.N_CLASSES)
             tag = path.name if path.name != "ckpt" else "ckpt(best)"
             print(

@@ -43,6 +43,47 @@ def test_nan_policy_skip_reports_rollback(capsys):
     assert "skipping update" in capsys.readouterr().out
 
 
+class _RestorePickerish:
+    """just enough of DetectTrackTrainer to exercise _pick_restore_path."""
+
+    from detect_to_track_tpu.trainer import DetectTrackTrainer as _T
+
+    _pick_restore_path = _T._pick_restore_path
+
+    def __init__(self, output_dir):
+        self.output_dir = output_dir
+
+
+def test_restore_prefers_most_recent_not_highest_step(tmp_path):
+    """a stale ckpt_autosave from a PREVIOUS run in a reused OUTPUT_DIR can
+    carry a higher step than this run's own fresh ckpt; selection must go by
+    write recency, not step, or a resume silently restores the other run's
+    params."""
+    import json
+    import os
+
+    def fake_ckpt(name, step, mtime):
+        p = tmp_path / name
+        p.mkdir()
+        meta = tmp_path / f"{name}.meta.json"
+        meta.write_text(json.dumps({"step": step}))
+        os.utime(meta, (mtime, mtime))
+        return p
+
+    stale_auto = fake_ckpt("ckpt_autosave", step=1500, mtime=1_000_000.0)
+    fresh_ckpt = fake_ckpt("ckpt", step=150, mtime=2_000_000.0)
+    t = _RestorePickerish(tmp_path)
+    assert t._pick_restore_path() == fresh_ckpt.absolute()
+
+    # ...but after a watchdog autosave (newest write), the autosave wins
+    os.utime(tmp_path / "ckpt_autosave.meta.json", (3_000_000.0, 3_000_000.0))
+    assert t._pick_restore_path() == stale_auto.absolute()
+
+    # equal mtimes tie to `ckpt` (the best model)
+    os.utime(tmp_path / "ckpt_autosave.meta.json", (2_000_000.0, 2_000_000.0))
+    assert t._pick_restore_path() == fresh_ckpt.absolute()
+
+
 class _WatchdogTrainerish:
     """just enough of DetectTrackTrainer to exercise the host-RSS
     watchdog (_check_host_memory): real limit derivation, stubbed
