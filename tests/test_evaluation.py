@@ -69,3 +69,103 @@ def test_average_precision_shape():
     p = np.array([1.0, 0.5])
     ap = average_precision(r, p)
     assert 0.5 < ap <= 1.0
+
+
+def test_evaluate_cli_all_ckpts_shares_one_detector(tmp_path, monkeypatch, capsys):
+    """`evaluate.py --all-ckpts` must evaluate every history entry while
+    constructing exactly ONE Detector (a fresh Detector per checkpoint means
+    a full XLA recompile per entry -- minutes each through a remote-compile
+    tunnel) and restore each checkpoint exactly once."""
+    import importlib.util
+    import json
+    import sys
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from detect_to_track_tpu.config import Config
+    from detect_to_track_tpu.models import DetectTrackModule
+    import detect_to_track_tpu.inference as inference_mod
+
+    cfg_kw = dict(
+        N_CLASSES=6,
+        BATCH_SIZE=2,
+        INPUT_SHAPE=(64, 96),
+        ANCHOR_AREAS=(0.02, 0.08),
+        ANCHOR_ASPECT_RATIOS=(0.5, 1.0, 2.0),
+        MAX_LABELS=8,
+        PRE_NMS_TOPK=64,
+        MAX_ROIS=16,
+        MAX_DETS=8,
+        D_MAX=2,
+        K=3,
+        COMPUTE_DTYPE="float32",
+    )
+    cfg = Config(**cfg_kw)
+    yaml_path = tmp_path / "tiny.yaml"
+    yaml_path.write_text(
+        "\n".join(
+            f"{k}: {list(v) if isinstance(v, tuple) else v}"
+            for k, v in cfg_kw.items()
+        )
+    )
+
+    model = DetectTrackModule(
+        backbone_arch=cfg.BACKBONE_ARCH,
+        n_anchors=cfg.n_anchors_per_cell,
+        n_classes=cfg.N_CLASSES,
+        k=cfg.K,
+        d_max=cfg.D_MAX,
+        r_hw=cfg.K,
+        dtype=jnp.float32,
+    )
+    h, w = cfg.INPUT_SHAPE
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, h, w, 3), jnp.float32),
+        jnp.full((2, cfg.MAX_ROIS, 4), 0.4, jnp.float32),
+    )
+    ckptr = ocp.StandardCheckpointer()
+    for name, step in [("ckpt_step_00000002", 2), ("ckpt", 4)]:
+        path = (tmp_path / name).absolute()
+        ckptr.save(
+            path,
+            {"params": variables["params"], "step": jnp.asarray(step)},
+            force=True,
+        )
+    ckptr.wait_until_finished()
+
+    inits = []
+    orig_init = inference_mod.Detector.__init__
+
+    def counting_init(self, *a, **kw):
+        inits.append(1)
+        return orig_init(self, *a, **kw)
+
+    monkeypatch.setattr(inference_mod.Detector, "__init__", counting_init)
+    spec = importlib.util.spec_from_file_location(
+        "evaluate_cli", Path(__file__).resolve().parents[1] / "evaluate.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "evaluate.py",
+            "-c", str(yaml_path),
+            "--synthetic",
+            "--n-samples", "2",
+            "--ckpt", str(tmp_path / "ckpt"),
+            "--all-ckpts",
+        ],
+    )
+    mod.main()
+
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if "'mAP'" in l]
+    assert len(lines) == 2  # one per history entry + the main ckpt
+    assert "ckpt_step_00000002" in out and "ckpt(best)" in out
+    assert sum(inits) == 1  # ONE Detector, params swapped per restore
