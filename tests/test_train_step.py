@@ -374,6 +374,40 @@ def test_remat_matches_plain_step(setup):
         )
 
 
+def test_report_images_preserve_uint8_sources(setup, tmp_path):
+    """report overlays must not rescale uint8 report images by 255 again
+    (regression: the same double-rescale class that saturated PIL clip
+    frames white -- clip.py fix in be3f595, report path fixed later)."""
+    cfg, model, fresh, _, _ = setup
+    from detect_to_track_tpu.data.synthetic import SyntheticVIDManager
+    from detect_to_track_tpu.trainer import DetectTrackTrainer
+
+    class Uint8Manager(SyntheticVIDManager):
+        def __getitem__(self, i):
+            i0, i1 = super().__getitem__(i)
+            to8 = lambda inst: inst._replace(
+                im=(inst.im * 255).astype(np.uint8)
+            )
+            return to8(i0), to8(i1)
+
+    t = DetectTrackTrainer.__new__(DetectTrackTrainer)
+    t.model = model
+    t.cfg = cfg
+    t.state = TrainState(
+        params=fresh()["params"], opt_state=None, step=jnp.zeros((), jnp.int32)
+    )
+    t.rep_manager = Uint8Manager(
+        n_samples=1, image_hw=cfg.INPUT_SHAPE, n_classes=cfg.N_CLASSES
+    )
+    t.output_dir = tmp_path
+    images = t._report_images()
+    assert len(images) == 1
+    arr = np.array(next(iter(images.values())))
+    # a double-rescaled uint8 source saturates ~every pixel to 255; the
+    # synthetic background is dim (<=0.1*255), so the mean must stay low
+    assert arr.mean() < 100, arr.mean()
+
+
 def test_grad_accum_rejects_indivisible_batch(setup):
     cfg, model, fresh, _, batch = setup
     cfg_a = cfg.replace(GRAD_ACCUM=3)  # BATCH_SIZE=2 not divisible
