@@ -107,6 +107,85 @@ def test_parallel_step_matches_single_device():
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
 
 
+def test_parallel_grad_accum_matches_unsplit():
+    """GRAD_ACCUM under the SPMD step: the in-step microbatch scan reshapes
+    the SHARDED batch axis (B,) -> (accum, B/accum); GSPMD must keep the
+    numerics identical to the unsplit parallel step. 4 devices, B=8,
+    accum=2 -> each microbatch still spans the mesh (2 pairs/device -> 1)."""
+    import jax.numpy as jnp
+
+    from detect_to_track_tpu.config import Config
+    from detect_to_track_tpu.data.synthetic import SyntheticVIDManager
+    from detect_to_track_tpu.parallel import (
+        make_mesh,
+        make_parallel_train_step,
+        replicate,
+        shard_batch,
+    )
+    from detect_to_track_tpu.trainer import (
+        BatchLoader,
+        TrainState,
+        make_optimizer,
+    )
+    from __graft_entry__ import _model_for
+
+    base_kw = dict(
+        N_CLASSES=4,
+        BATCH_SIZE=8,
+        INPUT_SHAPE=(32, 48),
+        ANCHOR_AREAS=(0.05,),
+        ANCHOR_ASPECT_RATIOS=(1.0, 2.0),
+        MAX_LABELS=4,
+        PRE_NMS_TOPK=16,
+        MAX_ROIS=8,
+        MAX_DETS=4,
+        D_MAX=1,
+        K=2,
+        COMPUTE_DTYPE="float32",
+    )
+    cfg = Config(**base_kw)
+    model = _model_for(cfg, corr_impl="xla")
+    manager = SyntheticVIDManager(
+        n_samples=8, image_hw=cfg.INPUT_SHAPE, n_classes=cfg.N_CLASSES,
+        n_objects=2,
+    )
+    batch = next(iter(BatchLoader(manager, 8, cfg, seed=0)))
+
+    h, w = cfg.INPUT_SHAPE
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, h, w, 3), jnp.float32),
+        jnp.full((2, cfg.MAX_ROIS, 4), 0.4, jnp.float32),
+    )
+    params = variables["params"]
+    tx = make_optimizer(cfg, params)
+
+    def fresh_state():
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        return TrainState(
+            params=p, opt_state=tx.init(p), step=jnp.zeros((), jnp.int32)
+        )
+
+    mesh = make_mesh(4)
+    out = {}
+    for accum in (1, 2):
+        cfg_a = Config(**base_kw, GRAD_ACCUM=accum)
+        par = make_parallel_train_step(model, cfg_a, tx, mesh)
+        s, dtl = par(replicate(fresh_state(), mesh), shard_batch(batch, mesh))
+        out[accum] = (jax.device_get(s.params), jax.device_get(dtl))
+
+    (p1, d1), (p2, d2) = out[1], out[2]
+    for a, b in zip(
+        jax.tree_util.tree_leaves(d1), jax.tree_util.tree_leaves(d2)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(p1),
+        jax.tree_util.tree_leaves_with_path(p2),
+    ):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5, err_msg=str(ka))
+
+
 def test_parallel_nan_policy_skip_rolls_back():
     """the on-device NAN_POLICY="skip" rollback must also hold through the
     sharded, donating parallel step (VERDICT r2 weak #7): NaN batch between
