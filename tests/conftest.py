@@ -43,6 +43,7 @@ def pytest_collection_modifyitems(config, items):
         "test_full_graph_parity.py",
         "test_evaluation.py",
         "test_diagnostics.py",
+        "test_examples.py",
     }
     for item in items:
         if item.fspath.basename in slow_files:
