@@ -14,9 +14,11 @@
 //   transition matrix has any finite entry, take the best path ending at
 //   final_ts and -inf its nodes' incoming/outgoing transitions (and init
 //   score at t=0); finally surviving t=0 nodes become length-1 tubelets.
-// - one defensive deviation: if an extraction pass removes nothing (possible
-//   only with all-zero scores, where the reference would loop forever), the
-//   while-loop breaks.
+// - one deviation (shared with the numpy and device linkers): end-node ties
+//   break toward a node with finite incoming entries, so every extraction
+//   consumes a transition and the loop provably terminates (the reference
+//   spins forever when an exactly-0.0 transition is reachable). A defensive
+//   removed-nothing break remains as belt-and-braces.
 //
 // Build: g++ -O3 -shared -fPIC (see viterbi_native.py). Plain C ABI.
 
@@ -106,7 +108,13 @@ int64_t d2t_viterbi_multi_link(
     while (any_finite(trans[final_ts - 1])) {
       run_dp(trans, dims, final_ts, init_s, &dp);
 
-      // best end node (first max, like python's argmax/max)
+      // best end node: first max, tie-broken toward nodes whose incoming
+      // column still has a finite entry. Identical to plain first-argmax on
+      // every input the reference's loop terminates on, but guarantees each
+      // extraction consumes a transition entry -- with exactly-0.0
+      // transitions a fresh 0-score path at a drained node would otherwise
+      // be re-extracted until the defensive break below. Same rule in the
+      // numpy (viterbi.py) and device (viterbi_device.py) linkers.
       int64_t end = 0;
       double best = dp.scores.empty() ? kNegInf : dp.scores[0];
       for (size_t i = 1; i < dp.scores.size(); ++i)
@@ -114,6 +122,23 @@ int64_t d2t_viterbi_multi_link(
           best = dp.scores[i];
           end = static_cast<int64_t>(i);
         }
+      {
+        const std::vector<double>& last = trans[final_ts - 1];
+        const int64_t n_src = dims[final_ts - 1];
+        const int64_t n_dst = dims[final_ts];
+        auto incoming_finite = [&](int64_t d) {
+          for (int64_t s = 0; s < n_src; ++s)
+            if (std::isfinite(last[s * n_dst + d])) return true;
+          return false;
+        };
+        if (!incoming_finite(end)) {
+          for (int64_t d = 0; d < n_dst; ++d)
+            if (dp.scores[d] == best && incoming_finite(d)) {
+              end = d;
+              break;
+            }
+        }
+      }
 
       // backtrack
       std::vector<int64_t> path = {end};

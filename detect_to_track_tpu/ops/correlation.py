@@ -42,12 +42,22 @@ from .lax_ref import pointwise_correlation_ref
 
 
 def _env_cap(name: str, default: int) -> int:
-    """channel-block ceiling override (perf tuning: larger blocks cut the
-    per-revisit VPU work but inflate Mosaic compile time)."""
+    """channel-block / alignment override (perf tuning: larger blocks cut
+    the per-revisit VPU work but inflate Mosaic compile time). Values are
+    validated against the alignment the kernels require -- a misaligned
+    knob would otherwise surface as a cryptic Mosaic DMA error (or silent
+    grid under-coverage) far from the misconfiguration."""
     try:
-        return int(os.environ[name])
+        v = int(os.environ[name])
     except (KeyError, ValueError):
         return default
+    align = 8 if name == "D2T_CORR_W8_ALIGN" else 128
+    if v < align or v % align:
+        raise ValueError(
+            f"{name}={v} must be a positive multiple of {align} "
+            f"(lane/sublane alignment of the kernels' DMA slices)"
+        )
+    return v
 
 
 def _round_up(x: int, m: int) -> int:
@@ -633,7 +643,12 @@ def _corr_bwd_pallas(fm0, fm1, g, d_max, stride, interpret):
     tile_b = min(32, tile_h)
     c_blk_b = min(256, c_blk)
     hp_b = _round_up(h, tile_b)
-    grid_b = (b, hp_b // tile_b, cp // c_blk_b)
+    # the channel padding must be re-derived for THIS kernel's block size:
+    # cp was rounded up to c_blk, and cp // c_blk_b floors -- for c_blk >
+    # c_blk_b with c not a multiple of c_blk_b (e.g. C=384) the grid would
+    # under-cover the output and leave the tail channels uninitialized.
+    cp_b = _round_up(c, c_blk_b)
+    grid_b = (b, hp_b // tile_b, cp_b // c_blk_b)
     common_b = dict(common, tile_h=tile_b, c_blk=c_blk_b)
 
     # rows padded so every tile's sublane-aligned halo DMA (th2d8 rows, see
@@ -650,7 +665,7 @@ def _corr_bwd_pallas(fm0, fm1, g, d_max, stride, interpret):
             (0, 0),
             (d_max, hp_b - h + d_max),
             (d_max, w8 - w - d_max),
-            (0, cp - c),
+            (0, cp_b - c),
         ),
     )
 
@@ -666,7 +681,7 @@ def _corr_bwd_pallas(fm0, fm1, g, d_max, stride, interpret):
             lambda bb, hh, cc: (bb, hh, 0, cc),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, hp_b, w, cp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, hp_b, w, cp_b), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((k * k, th2d8, w128), jnp.float32),
             pltpu.VMEM((tile_b + 2 * d_max, w8, c_blk_b), fm0.dtype),

@@ -75,7 +75,9 @@ def compute_score_seq(
 
 
 def viterbi(
-    score_seq: List[np.ndarray], init_scores: Optional[Sequence[float]] = None
+    score_seq: List[np.ndarray],
+    init_scores: Optional[Sequence[float]] = None,
+    prefer_end: Optional[np.ndarray] = None,
 ) -> Tuple[List[int], float]:
     """best path to the final timestep (reference viterbi.py:71-116),
     vectorized.
@@ -84,6 +86,12 @@ def viterbi(
         best over sources of (source_score + transition), but if that best
         is not strictly positive, start a fresh path at the destination
         with score 0.0.
+
+    prefer_end: optional (|D_final|,) bool mask -- among maximal final
+        scores the first PREFERRED node wins (falling back to plain first
+        argmax when no maximal node is preferred). viterbi_multi_link
+        passes has-finite-incoming here so every extraction consumes a
+        transition entry; see the termination note there.
     """
     if not score_seq and init_scores is None:
         raise ValueError("if no transitions, init_scores must be passed in")
@@ -101,7 +109,15 @@ def viterbi(
         parents.append(np.where(fresh, -1, best_src))
         scores = np.where(fresh, 0.0, best_val)
 
-    end = int(np.argmax(scores))
+    if prefer_end is not None:
+        cand = (scores == scores.max()) & np.asarray(prefer_end, bool)
+        end = (
+            int(np.argmax(np.where(cand, scores, -np.inf)))
+            if cand.any()
+            else int(np.argmax(scores))
+        )
+    else:
+        end = int(np.argmax(scores))
     path = [end]
     for parent in reversed(parents):
         p = int(parent[path[0]])
@@ -137,7 +153,16 @@ def viterbi_multi_link(
     ans = []
     for final_ts in reversed(range(1, n_time_steps)):
         while np.any(np.isfinite(score_seq[final_ts - 1])):
-            path, score = viterbi(score_seq, init_scores)
+            # end-node tie-break toward nodes with finite incoming entries:
+            # identical extraction on every input the reference's loop
+            # terminates on, but guarantees progress when transitions of
+            # exactly 0.0 are reachable (confidence underflow) -- a fresh
+            # 0-score path at an already-drained node would otherwise be
+            # re-extracted forever (reference viterbi.py:137-150 spins).
+            # Same rule on the device (viterbi_device.py) and native
+            # (viterbi.cpp) paths.
+            prefer = np.any(np.isfinite(score_seq[final_ts - 1]), axis=0)
+            path, score = viterbi(score_seq, init_scores, prefer_end=prefer)
             start_ts = final_ts - len(path) + 1
             ans.append(((start_ts, final_ts), score, path))
 

@@ -20,7 +20,6 @@ chunks -- only the final integer paths come back.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax
@@ -153,7 +152,7 @@ class DevicePaths(NamedTuple):
     n_paths: jnp.ndarray  # () int32
 
 
-@partial(jax.jit, static_argnums=())
+@jax.jit
 def viterbi_multi_link_scan(
     score_seq: jnp.ndarray, init_scores: jnp.ndarray
 ) -> DevicePaths:
@@ -179,7 +178,23 @@ def viterbi_multi_link_scan(
     def extract_one(seq, init, final_ts):
         parents, step_scores = viterbi_scan(seq, init)
         end_scores = step_scores[final_ts - 1]
-        end = jnp.argmax(end_scores).astype(jnp.int32)
+        # end-node tie-break: among maximal scores prefer a node whose
+        # incoming column still has a finite entry. Identical to plain
+        # first-argmax on every input the reference's loop terminates on (a
+        # strictly-positive max always has finite incoming), but guarantees
+        # each extraction consumes >= 1 finite entry: a fresh 0-score path
+        # at a node with an all--inf column removes nothing, and with exact
+        # 0.0 transitions (confidence underflow) the reference's while-loop
+        # -- and this one -- would otherwise spin forever. Same rule in the
+        # host (viterbi.py) and native (viterbi.cpp) linkers.
+        incoming_finite = jnp.any(jnp.isfinite(seq[final_ts - 1]), axis=0)
+        tied = end_scores == jnp.max(end_scores)
+        pref = jnp.where(tied & incoming_finite, end_scores, NEG_INF)
+        end = jnp.where(
+            jnp.any(jnp.isfinite(pref)),
+            jnp.argmax(pref),
+            jnp.argmax(end_scores),
+        ).astype(jnp.int32)
         path = viterbi_backtrack(parents, end, final_ts)  # (T,)
         score = end_scores[end]
         start_ts = jnp.argmax(path >= 0).astype(jnp.int32)

@@ -206,3 +206,134 @@ def test_corr_pallas_multi_tile_stride2(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
         )
+
+
+def test_corr_pallas_multi_channel_blocks(rng, monkeypatch):
+    """C spanning SEVERAL channel blocks (forced via the CCAP env knobs):
+    exercises the forward's revisited-output accumulation over the channel
+    grid dim, the backward kernels' per-block scratch reuse, and the
+    channel-grid derivation. All other tests use C <= one block, which let a
+    real grid under-coverage bug (general dFM1 at C not a multiple of the
+    backward block) pass the whole suite."""
+    monkeypatch.setenv("D2T_CORR_FWD_CCAP", "128")
+    monkeypatch.setenv("D2T_CORR_BWD_CCAP", "128")
+    d_max = 2
+    fm0 = rng.rand(1, 8, 7, 256).astype(np.float32)
+    fm1 = rng.rand(1, 8, 7, 256).astype(np.float32)
+    ref = np.asarray(pointwise_correlation_ref(fm0, fm1, d_max, 1))
+    got = np.asarray(
+        pointwise_correlation(fm0, fm1, d_max, 1, impl="pallas", interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+    def loss(fn):
+        def f(a, b):
+            return (fn(a, b) ** 2).sum()
+        return f
+
+    g_ref = jax.grad(
+        loss(lambda a, b: pointwise_correlation_ref(a, b, d_max, 1)),
+        argnums=(0, 1),
+    )(fm0, fm1)
+    g_pal = jax.grad(
+        loss(
+            lambda a, b: pointwise_correlation(
+                a, b, d_max, 1, impl="pallas", interpret=True
+            )
+        ),
+        argnums=(0, 1),
+    )(fm0, fm1)
+    for a, b in zip(g_pal, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-2
+        )
+
+
+def test_corr_pallas_general_bwd_partial_last_channel_block(rng):
+    """C=384 with the default backward block of 256 on the GENERAL (multi-
+    tile-height) path: the dFM1 grid must be derived from the BACKWARD
+    block size, not the forward one -- the regression left channels
+    [256, 384) of dFM1 uninitialized (NaN) while every C<=block test
+    passed."""
+    d_max = 2
+    fm0 = rng.rand(1, 48, 9, 384).astype(np.float32)
+    fm1 = rng.rand(1, 48, 9, 384).astype(np.float32)
+
+    def loss(fn):
+        def f(a, b):
+            return (fn(a, b) ** 2).sum()
+        return f
+
+    g_ref = jax.grad(
+        loss(lambda a, b: pointwise_correlation_ref(a, b, d_max, 1)),
+        argnums=(0, 1),
+    )(fm0, fm1)
+    g_pal = jax.grad(
+        loss(
+            lambda a, b: pointwise_correlation(
+                a, b, d_max, 1, impl="pallas", interpret=True
+            )
+        ),
+        argnums=(0, 1),
+    )(fm0, fm1)
+    for a, b in zip(g_pal, g_ref):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-2
+        )
+
+
+def test_corr_pallas_bf16_matches_ref(rng):
+    """bf16 inputs (the working-point dtype) through fwd+bwd: the extraction
+    / scatter paths have bf16-specific code (f32 VMEM accumulators,
+    native-dtype outputs) that no other test touches."""
+    d_max = 2
+    a32 = rng.rand(1, 8, 7, 8).astype(np.float32)
+    b32 = rng.rand(1, 8, 7, 8).astype(np.float32)
+    fm0 = jnp.asarray(a32, jnp.bfloat16)
+    fm1 = jnp.asarray(b32, jnp.bfloat16)
+    ref = np.asarray(
+        pointwise_correlation_ref(
+            fm0.astype(jnp.float32), fm1.astype(jnp.float32), d_max, 1
+        )
+    )
+    got = np.asarray(
+        pointwise_correlation(fm0, fm1, d_max, 1, impl="pallas", interpret=True)
+    ).astype(np.float32)
+    np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.05)
+
+    def loss_p(a, b):
+        out = pointwise_correlation(
+            a, b, d_max, 1, impl="pallas", interpret=True
+        )
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    def loss_r(a, b):
+        out = pointwise_correlation_ref(
+            a.astype(jnp.float32), b.astype(jnp.float32), d_max, 1
+        )
+        return (out**2).sum()
+
+    g_p = jax.grad(loss_p, argnums=(0, 1))(fm0, fm1)
+    g_r = jax.grad(loss_r, argnums=(0, 1))(fm0, fm1)
+    for a, b in zip(g_p, g_r):
+        assert a.dtype == jnp.bfloat16  # native-dtype grads
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=0.1, atol=0.1,
+        )
+
+
+def test_corr_env_knob_validation(rng, monkeypatch):
+    """misaligned CCAP / W8_ALIGN knobs fail fast with a named error instead
+    of a cryptic Mosaic DMA failure (or silent grid under-coverage)."""
+    import pytest as _pytest
+
+    fm = rng.rand(1, 8, 7, 8).astype(np.float32)
+    monkeypatch.setenv("D2T_CORR_FWD_CCAP", "300")
+    with _pytest.raises(ValueError, match="D2T_CORR_FWD_CCAP"):
+        pointwise_correlation(fm, fm, 2, 1, impl="pallas", interpret=True)
+    monkeypatch.delenv("D2T_CORR_FWD_CCAP")
+    monkeypatch.setenv("D2T_CORR_W8_ALIGN", "4")
+    with _pytest.raises(ValueError, match="D2T_CORR_W8_ALIGN"):
+        pointwise_correlation(fm, fm, 2, 1, impl="pallas", interpret=True)

@@ -167,3 +167,48 @@ def test_multi_link_scan_full_extraction_on_clean_tracks():
     assert len(full) == 2
     for i in full:
         assert (out.nodes[i, :T] >= 0).all()
+
+
+def test_exact_zero_transition_terminates_and_agrees():
+    """an exactly-0.0 link score reachable from a 0-score source (confidence
+    underflow) livelocked every linker but the native one (which broke with
+    different output): a fresh 0-score path at an already-drained node
+    consumes nothing. The shared fix -- end-node ties break toward a node
+    with finite incoming entries -- must terminate and agree across numpy,
+    native, and device implementations."""
+    import signal
+
+    from detect_to_track_tpu.native import viterbi_native
+
+    score_seq = [np.array([[-np.inf, 0.0], [-np.inf, -np.inf]], np.float64)]
+    init = [0.0, 0.0]
+    expected = [
+        ((1, 1), 0.0, [1]),
+        ((0, 0), 0.0, [0]),
+        ((0, 0), 0.0, [1]),
+    ]
+
+    signal.alarm(120)  # a livelock regression fails loudly, not silently
+    try:
+        host = viterbi_multi_link(
+            [m.copy() for m in score_seq], list(init), use_native=False
+        )
+        assert host == expected
+
+        if viterbi_native.available():
+            nat = viterbi_multi_link(
+                [m.copy() for m in score_seq], list(init), use_native=True
+            )
+            assert nat == expected
+
+        seq, ini = _pad_problem(score_seq, init, [2, 2], 2)
+        out = jax_get(viterbi_multi_link_scan(seq, ini))
+        got = []
+        for i in range(int(out.n_paths)):
+            s, e = int(out.spans[i, 0]), int(out.spans[i, 1])
+            got.append(
+                ((s, e), float(out.scores[i]), list(out.nodes[i, s : e + 1]))
+            )
+        assert got == expected
+    finally:
+        signal.alarm(0)
