@@ -18,8 +18,9 @@ within capacity.
 Behavioral parity notes (each vs. the reference):
 - empty-label path: loss_weights = !crosses_boundary, c*=0, b*=0
   (reference encoding.py:71-76, 135-139).
-- loss ignored when |IoU - thresh| < margin or anchor crosses the boundary
-  (reference encoding.py:84-87).
+- loss ignored when |IoU - thresh| <= margin (boundary value INCLUSIVE --
+  kept is `> margin`, matching the transcribed oracle) or anchor crosses
+  the image boundary (reference encoding.py:84-87).
 - positive anchor: IoU > thresh for some gt, OR argmax anchor of some gt
   (reference encoding.py:90-94).
 - QUIRK (replicated by default, gated by cfg.FIX_REGION_MASK_POLARITY):
@@ -48,9 +49,18 @@ def frcnn_box_encode(anchors, boxes, xp=jnp):
 
     Returns:
         offsets: (..., 4).
+
+    Deviation from the reference: the prior's hw is floored at a tiny eps
+    before the divide/log. Real anchors/rois are never smaller (>= 1 px
+    fractional), but region-slot PADDING can be all-zero boxes
+    (ops/nms.py pad branch when fewer candidates than MAX_ROIS exist):
+    an unguarded divide gives inf b_star there, and even though the slot
+    is masked out of every loss, smooth-L1's quadratic-branch VJP turns
+    the masked inf into 0*inf = NaN parameter gradients.
     """
     a_ij, a_hw = anchors[..., :2], anchors[..., 2:]
     b_ij, b_hw = boxes[..., :2], boxes[..., 2:]
+    a_hw = xp.maximum(a_hw, 1e-8)
     t_ij = (b_ij - a_ij) / a_hw
     t_hw = xp.log(b_hw / a_hw)
     return xp.concatenate([t_ij, t_hw], axis=-1)
@@ -226,6 +236,11 @@ def track_encode(
     produced only for objects present in both frames, assigned to the
     frame-0 gt box. Fixed-shape: one slot per frame-0 label with a validity
     mask instead of the reference's dynamic intersection.
+
+    Duplicate (class_id, track_id) pairs within a frame (malformed
+    annotations) follow the reference's dict construction exactly: the
+    LAST occurrence wins on both sides (reference encoding.py:229-238
+    builds {pair: box} dicts), so one duplicate pair yields ONE target.
     """
     m0 = mask_0.astype(bool)
     m1 = mask_1.astype(bool)
@@ -235,8 +250,19 @@ def track_encode(
         & (classes_0[:, None] == classes_1[None, :])
         & (track_ids_0[:, None] == track_ids_1[None, :])
     )  # (L, L)
-    valid = jnp.any(match, axis=1)  # (L,)
-    j = jnp.argmax(match, axis=1)  # first match in frame 1
+    l = boxes_0.shape[0]
+    idx = jnp.arange(l)
+    # dict semantics: a frame-0 slot is dead if a LATER slot carries the
+    # same pair; the frame-1 assignment takes the LAST matching slot.
+    same_0 = (
+        m0[:, None]
+        & m0[None, :]
+        & (classes_0[:, None] == classes_0[None, :])
+        & (track_ids_0[:, None] == track_ids_0[None, :])
+    )
+    later_dup = jnp.any(same_0 & (idx[None, :] > idx[:, None]), axis=1)
+    valid = jnp.any(match, axis=1) & ~later_dup  # (L,)
+    j = (l - 1) - jnp.argmax(match[:, ::-1], axis=1)  # last match in frame 1
 
     # invalid slots encode a unit box against itself -> exact zeros; padding
     # boxes are all-zero and would otherwise divide by hw = 0.

@@ -20,7 +20,7 @@ are dropped lowest-score-first.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -107,7 +107,7 @@ def proposal_filter(
     conf_thresh: float,
     nms_iou_thresh: float,
     max_rois: int,
-    pre_nms_cap: int = None,
+    pre_nms_cap: Optional[int] = None,
 ) -> Proposals:
     """full pipeline for one frame: gate -> top-k -> NMS -> cap.
 
@@ -156,7 +156,7 @@ def batched_proposal_filter(
     conf_thresh: float,
     nms_iou_thresh: float,
     max_rois: int,
-    pre_nms_cap: int = None,
+    pre_nms_cap: Optional[int] = None,
 ) -> Proposals:
     """vmap of proposal_filter over a leading batch axis.
 

@@ -110,6 +110,8 @@ def roi_pool(
     """
     if impl == "sat":
         return _roi_pool_sat(fm, rois, r_hw)
+    if impl != "einsum":
+        raise ValueError(f"unknown impl {impl!r} (use 'einsum' or 'sat')")
     return _roi_pool_einsum(fm, rois, r_hw)
 
 
@@ -122,8 +124,9 @@ def roi_pool_linear(g: jnp.ndarray, rois: jnp.ndarray, r_hw: int) -> jnp.ndarray
     channel dim contracts BEFORE pooling: at the tracker working point
     (C=2602, R=256, k=7) this removes the (R,k,H,C) ~700 MB mask-matmul
     intermediate and the (R,k,k,C) pooled tensor entirely -- intermediates
-    shrink to (R,W,k,k,O) ~15 MB and FLOPs drop ~8x. Bin geometry is
-    identical to roi_pool (corner-clamped; empty bins contribute 0).
+    shrink to (R,H,k,k,O) ~7.6 MB (the W dim contracts first, like the
+    sibling kernels) and FLOPs drop ~8x. Bin geometry is identical to
+    roi_pool (corner-clamped; empty bins contribute 0).
 
     Args:
         g: (H, W, k, k, O) projected map.
@@ -139,8 +142,10 @@ def roi_pool_linear(g: jnp.ndarray, rois: jnp.ndarray, r_hw: int) -> jnp.ndarray
     cmask = _range_masks(j0, j1, fm_w)  # (|R|, k, W)
 
     gf = g.astype(jnp.promote_types(g.dtype, jnp.float32))
-    t1 = jnp.einsum("rih,hwijo->rwijo", rmask, gf, precision=_PREC)
-    t2 = jnp.einsum("rjw,rwijo->rijo", cmask, t1, precision=_PREC)
+    # contract the larger W dim first: intermediate (|R|, H, k, k, O) beats
+    # (|R|, W, k, k, O) on peak memory at the 38x75 working point.
+    t1 = jnp.einsum("rjw,hwijo->rhijo", cmask, gf, precision=_PREC)
+    t2 = jnp.einsum("rih,rhijo->rijo", rmask, t1, precision=_PREC)
     numel = _bin_numel(i0, i1, j0, j1)[..., None]  # (|R|, k, k, 1)
     per_bin = jnp.where(numel > 0, t2 / jnp.maximum(numel, 1.0), 0.0)
     return per_bin.sum(axis=(1, 2))  # (|R|, O)
@@ -223,4 +228,6 @@ def ps_roi_pool(
         )
     if impl == "sat":
         return _ps_roi_pool_sat(fm, rois, n_targets, r_hw, paper_layout)
+    if impl != "einsum":
+        raise ValueError(f"unknown impl {impl!r} (use 'einsum' or 'sat')")
     return _ps_roi_pool_einsum(fm, rois, n_targets, r_hw, paper_layout)

@@ -205,3 +205,58 @@ def test_anchor_boundary_mask():
     np.testing.assert_array_equal(
         anchor_boundary_mask(anchors), [False, True, True]
     )
+
+
+def test_track_encode_duplicate_pairs_last_wins(rng):
+    """duplicate (class, track) pairs within a frame follow the reference's
+    dict construction: the LAST occurrence wins on both sides and the pair
+    yields exactly ONE target (reference encoding.py:229-238)."""
+    b0 = rng.rand(3, 4).astype(np.float32) * 0.3 + 0.2
+    b1 = rng.rand(3, 4).astype(np.float32) * 0.3 + 0.2
+    # frame 0: (1,0) appears at slots 0 AND 2; frame 1: (1,0) at slots 0 AND 1
+    pb0, pc0, pt0, pm0 = _pad(b0, [1, 2, 1], [0, 9, 0], 8)
+    pb1, pc1, pt1, pm1 = _pad(b1, [1, 1, 2], [0, 0, 9], 8)
+
+    out = track_encode(pb0, pc0, pt0, pm0, pb1, pc1, pt1, pm1)
+    valid = np.asarray(out.valid)
+    # slot 0's pair is superseded by slot 2 (dict last-wins); slot 1 ((2,9))
+    # matches frame-1 slot 2; slot 2 is the surviving (1,0)
+    assert valid.tolist() == [False, True, True, False, False, False, False, False]
+
+    t_star = np.asarray(out.t_star)
+    exp_10 = np.asarray(frcnn_box_encode(b0[2], b1[1], xp=np))  # last<->last
+    exp_29 = np.asarray(frcnn_box_encode(b0[1], b1[2], xp=np))
+    np.testing.assert_allclose(t_star[2], exp_10, rtol=1e-5)
+    np.testing.assert_allclose(t_star[1], exp_29, rtol=1e-5)
+
+
+def test_zero_size_padding_region_encodes_finite_with_finite_grads(rng):
+    """all-zero padding region rows (ops/nms.py pad branch when fewer
+    candidates than MAX_ROIS exist) must encode to FINITE b_star: an inf
+    target makes smooth-L1's masked forward fine but its VJP computes
+    0*inf = NaN, silently NaN-ing the regression head's gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from detect_to_track_tpu.losses import rcnn_loss
+
+    regions = np.array(
+        [[0.4, 0.4, 0.3, 0.3], [0.0, 0.0, 0.0, 0.0]], np.float32
+    )
+    boxes = np.array([[0.45, 0.4, 0.3, 0.3]], np.float32)
+    pb, pc, pt, pm = _pad(boxes, [7], [0], 4)
+
+    rt = region_encode(regions, pb, pc, pm, 0.5, False)
+    assert np.isfinite(np.asarray(rt.b_star)).all()
+
+    valid = jnp.asarray([True, False])
+    c_hat = jnp.full((2, 31), 1.0 / 31)
+
+    def loss(b_hat):
+        c_l, b_l = rcnn_loss(
+            c_hat, rt.c_star, b_hat, rt.b_star, valid, 0.25, 2.0
+        )
+        return c_l + b_l
+
+    g = jax.grad(loss)(jnp.zeros((2, 4), jnp.float32))
+    assert np.isfinite(np.asarray(g)).all(), np.asarray(g)

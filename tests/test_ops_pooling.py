@@ -172,3 +172,13 @@ def test_roi_pool_sat_grad_matches_ref_grad(rng):
     np.testing.assert_allclose(
         np.asarray(g_fast), np.asarray(g_ref), rtol=1e-3, atol=1e-4
     )
+
+
+def test_unknown_impl_raises(rng):
+    fm = rng.rand(8, 8, 4).astype(np.float32)
+    rois = np.array([[0.5, 0.5, 0.4, 0.4]], np.float32)
+    with pytest.raises(ValueError, match="unknown impl"):
+        roi_pool(jnp.asarray(fm), jnp.asarray(rois), 2, impl="stat")
+    fmp = rng.rand(8, 8, 2 * 4).astype(np.float32)
+    with pytest.raises(ValueError, match="unknown impl"):
+        ps_roi_pool(jnp.asarray(fmp), jnp.asarray(rois), 2, 2, impl="SAT")
