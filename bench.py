@@ -150,7 +150,7 @@ def main() -> None:
         np.asarray(batch.images[i % cfg.BATCH_SIZE, i % 2], np.float32)
         for i in range(9)
     ]
-    tracker = ClipTracker(detector, min_len=1, pair_batch=4)
+    tracker = ClipTracker(detector, min_len=1, frame_chunk=4)
     tracker(clip)  # compile
     t0 = time.perf_counter()
     tracker(clip)

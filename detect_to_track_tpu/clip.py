@@ -20,7 +20,7 @@ Two linker paths:
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -52,14 +52,19 @@ class ClipTracker:
         link_iou_thresh: float = 0.5,
         min_len: int = 2,
         frame_chunk: int = 8,
-        pair_batch: int = None,  # back-compat alias for frame_chunk
+        pair_batch: Optional[int] = None,  # back-compat: PAIRS per dispatch
         device_linking: bool = True,
         uint8_upload: bool = True,
     ) -> None:
         self.detector = detector
         self.link_iou_thresh = link_iou_thresh
         self.min_len = min_len
-        self.frame_chunk = max(pair_batch or frame_chunk, 2)
+        # pair_batch predates frame_chunk and counts PAIRS: a chunk of F
+        # consecutive frames holds F-1 adjacent pairs, so honoring the old
+        # unit means frame_chunk = pair_batch + 1 (not pair_batch).
+        self.frame_chunk = max(
+            pair_batch + 1 if pair_batch else frame_chunk, 2
+        )
         self.device_linking = device_linking
         self.uint8_upload = uint8_upload
         self._chunk_scores_fn = None
@@ -76,9 +81,10 @@ class ClipTracker:
             from .encoding import frcnn_box_decode
             from .viterbi_device import clip_link_scores
 
-            iou = self.link_iou_thresh
-
-            def fn(out):
+            def fn(out, iou):
+                # iou is a TRACED argument, not baked into the closure:
+                # mutating tracker.link_iou_thresh between calls must affect
+                # the device path exactly like the host path (no stale jit).
                 confs = out.confs[:, :, 1:].sum(-1)  # (F, D) class-summed
                 track_boxes = frcnn_box_decode(out.boxes[:-1], out.tracks)
                 # init comes from clip_link_scores so the padded-slot
@@ -142,6 +148,13 @@ class ClipTracker:
                 else np.clip(np.rint(a * 255.0), 0, 255).astype(np.uint8)
                 for a in arrs
             ]
+        else:
+            # mixed PIL/float sources: np.stack would promote the uint8
+            # frames' 0-255 VALUES into the float batch, skipping the
+            # device /255 (same guard as Detector.__call__).
+            from .utils import promote_mixed_image_dtypes
+
+            arrs = promote_mixed_image_dtypes(arrs)
         # HOST_S2D: space-to-depth each frame on the host before upload
         # (same bytes; detect_clip consumes the (H/2, W/2, 12) layout).
         arrs = [self.detector._maybe_s2d(a) for a in arrs]
@@ -184,7 +197,9 @@ class ClipTracker:
             out = self.detector.detect_clip(window)
 
             if self.device_linking:
-                seq, init = self._chunk_scores()(out)
+                seq, init = self._chunk_scores()(
+                    out, np.float32(self.link_iou_thresh)
+                )
                 if s == 0:
                     init_scores = init
                 for fi in range(chunk - 1):

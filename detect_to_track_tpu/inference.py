@@ -41,6 +41,60 @@ class PairDetections(NamedTuple):
     tracks: jnp.ndarray  # (D, 4) frame0->frame1 transforms (frame-0 slots)
 
 
+def _detect_frames(model, variables, x, anchors, cfg):
+    """shared per-frame pipeline for BOTH entry points (pair-batched and
+    clip): backbone -> RPN -> decode -> on-device proposal filter -> R-FCN
+    -> second decode -> non-background gate (reference inference.py:44-52)
+    -> compact to MAX_DETS slots, highest fg-conf first. One definition so
+    the pair and clip paths cannot drift apart.
+
+    x: (N, H, W, 3|12) frames; uint8 normalizes ON DEVICE (4x less
+    host->device transfer, exact for integer-valued sources).
+
+    Returns (fmaps_t, fm_reg, confs, boxes, valid); fmaps_t has c3 already
+    downsampled at FULL batch (the split-then-stride order faults the TPU
+    at batch > 4, see trainer.py note).
+    """
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) / 255.0
+    fmaps = model.apply(variables, x, method="backbone")
+
+    o_hat, b_hat, fm_reg = model.apply(variables, fmaps["c4"], method="rpn")
+    rboxes = frcnn_box_decode(anchors[None], b_hat)  # (N, |A|, 4)
+
+    props = batched_proposal_filter(
+        o_hat[:, :, 1],
+        rboxes,
+        cfg.pre_nms_topk_eval,
+        cfg.EVAL_ROI_CONF_THRESH,
+        cfg.EVAL_NMS_IOU_THRESH,
+        cfg.MAX_ROIS,
+        cfg.pre_nms_cap_eval,
+    )  # boxes (N, R, 4), valid (N, R)
+
+    c_hat, b2_hat = model.apply(
+        variables, fmaps["c5"], props.boxes, method="rcnn"
+    )  # (N, R, C+1), (N, R, 4)
+    det_boxes = frcnn_box_decode(props.boxes, b2_hat)
+
+    fg_conf = c_hat[:, :, 1:].sum(-1)  # (N, R)
+    keep = (fg_conf > cfg.EVAL_RCNN_CONF_THRESH) & props.valid
+
+    # compact the survivors to MAX_DETS slots per frame (a capacity the
+    # reference does not need host-side; fg_conf ordering preserves the
+    # strongest detections).
+    d = cfg.MAX_DETS
+
+    def compact(keep_f, conf_f, confs_f, boxes_f):
+        key = jnp.where(keep_f, conf_f, -jnp.inf)
+        top, idx = jax.lax.top_k(key, d)
+        return confs_f[idx], boxes_f[idx], jnp.isfinite(top)
+
+    confs, boxes, valid = jax.vmap(compact)(keep, fg_conf, c_hat, det_boxes)
+    fmaps_t = {**fmaps, "c3": fmaps["c3"][:, ::2, ::2, :]}
+    return fmaps_t, fm_reg, confs, boxes, valid
+
+
 def detect_pairs_batched(
     model: DetectTrackModule,
     variables,
@@ -64,51 +118,14 @@ def detect_pairs_batched(
     """
     p, two, h, w, c = images.shape  # c=12: host pre-s2d layout (HOST_S2D)
     assert two == 2
-    if images.dtype == jnp.uint8:
-        images = images.astype(jnp.float32) / 255.0
     x = images.reshape(p * 2, h, w, c)
 
-    fmaps = model.apply(variables, x, method="backbone")
-
-    o_hat, b_hat, fm_reg = model.apply(variables, fmaps["c4"], method="rpn")
-    scores = o_hat[:, :, 1]  # (2P, |A|) objectness
-    rboxes = frcnn_box_decode(anchors[None], b_hat)  # (2P, |A|, 4)
-
-    props = batched_proposal_filter(
-        scores,
-        rboxes,
-        cfg.pre_nms_topk_eval,
-        cfg.EVAL_ROI_CONF_THRESH,
-        cfg.EVAL_NMS_IOU_THRESH,
-        cfg.MAX_ROIS,
-        cfg.pre_nms_cap_eval,
-    )  # boxes (2P, R, 4), valid (2P, R)
-
-    c_hat, b2_hat = model.apply(
-        variables, fmaps["c5"], props.boxes, method="rcnn"
-    )  # (2P, R, C+1), (2P, R, 4)
-    det_boxes = frcnn_box_decode(props.boxes, b2_hat)  # (2P, R, 4)
-
-    # non-background filter (reference inference.py:44-52):
-    # keep where sum of non-background confidences > thresh.
-    fg_conf = c_hat[:, :, 1:].sum(-1)  # (2P, R)
-    keep = (fg_conf > cfg.EVAL_RCNN_CONF_THRESH) & props.valid
-
-    # compact the survivors to MAX_DETS slots per frame, highest fg-conf
-    # first (a capacity the reference does not need host-side; fg_conf
-    # ordering preserves the strongest detections).
+    fmaps_t, fm_reg, confs, boxes, valid = _detect_frames(
+        model, variables, x, anchors, cfg
+    )
     d = cfg.MAX_DETS
 
-    def compact(keep_f, conf_f, confs_f, boxes_f):
-        key = jnp.where(keep_f, conf_f, -jnp.inf)
-        top, idx = jax.lax.top_k(key, d)
-        return confs_f[idx], boxes_f[idx], jnp.isfinite(top)
-
-    confs, boxes, valid = jax.vmap(compact)(keep, fg_conf, c_hat, det_boxes)
-
     # tracker on frame-0 final boxes (reference inference.py:108-118).
-    # c3 downsampled at full batch BEFORE the split (see trainer.py note).
-    fmaps_t = {**fmaps, "c3": fmaps["c3"][:, ::2, ::2, :]}
     split = {k: split_pairs(v) for k, v in fmaps_t.items()}
     pyr0 = {k: v[0] for k, v in split.items()}
     pyr1 = {k: v[1] for k, v in split.items()}
@@ -170,42 +187,11 @@ def detect_clip(
             normalizes ON DEVICE, cutting the host->device clip upload 4x
             (the dominant cost through a remote-tunnel link; clip.py).
     """
-    f = frames.shape[0]
-    if frames.dtype == jnp.uint8:
-        frames = frames.astype(jnp.float32) / 255.0
-    fmaps = model.apply(variables, frames, method="backbone")
-
-    o_hat, b_hat, fm_reg = model.apply(variables, fmaps["c4"], method="rpn")
-    rboxes = frcnn_box_decode(anchors[None], b_hat)
-    props = batched_proposal_filter(
-        o_hat[:, :, 1],
-        rboxes,
-        cfg.pre_nms_topk_eval,
-        cfg.EVAL_ROI_CONF_THRESH,
-        cfg.EVAL_NMS_IOU_THRESH,
-        cfg.MAX_ROIS,
-        cfg.pre_nms_cap_eval,
+    fmaps_t, fm_reg, confs, boxes, valid = _detect_frames(
+        model, variables, frames, anchors, cfg
     )
 
-    c_hat, b2_hat = model.apply(
-        variables, fmaps["c5"], props.boxes, method="rcnn"
-    )
-    det_boxes = frcnn_box_decode(props.boxes, b2_hat)
-    fg_conf = c_hat[:, :, 1:].sum(-1)
-    keep = (fg_conf > cfg.EVAL_RCNN_CONF_THRESH) & props.valid
-
-    d = cfg.MAX_DETS
-
-    def compact(keep_f, conf_f, confs_f, boxes_f):
-        key = jnp.where(keep_f, conf_f, -jnp.inf)
-        top, idx = jax.lax.top_k(key, d)
-        return confs_f[idx], boxes_f[idx], jnp.isfinite(top)
-
-    confs, boxes, valid = jax.vmap(compact)(keep, fg_conf, c_hat, det_boxes)
-
-    # tracker over all adjacent pairs, sharing the per-frame features;
-    # c3 downsampled at full batch before the overlap slicing.
-    fmaps_t = {**fmaps, "c3": fmaps["c3"][:, ::2, ::2, :]}
+    # tracker over all adjacent pairs, sharing the per-frame features.
     pyr0 = {k: v[:-1] for k, v in fmaps_t.items()}
     pyr1 = {k: v[1:] for k, v in fmaps_t.items()}
     tracks = model.apply(
@@ -272,10 +258,25 @@ class Detector:
             # a list of HOST arrays packs on host (S2D applies); a list
             # holding any device array stacks ON DEVICE -- np.asarray here
             # would silently download every element through the tunnel.
+            # Mixed uint8/float entries promote with the /255 applied
+            # (stacking would otherwise smuggle 0-255 values into a float
+            # batch that skips the device /255 -- same guard as __call__).
             if all(isinstance(p, np.ndarray) for p in pairs):
-                pairs = self._maybe_s2d(np.asarray(pairs))
+                from .utils import promote_mixed_image_dtypes
+
+                pairs = self._maybe_s2d(
+                    np.asarray(promote_mixed_image_dtypes(list(pairs)))
+                )
             else:
-                pairs = jnp.stack([jnp.asarray(p) for p in pairs])
+                parts = [jnp.asarray(p) for p in pairs]
+                if len({p.dtype for p in parts}) > 1:
+                    parts = [
+                        p.astype(jnp.float32) / 255.0
+                        if p.dtype == jnp.uint8
+                        else p.astype(jnp.float32)
+                        for p in parts
+                    ]
+                pairs = jnp.stack(parts)
         return self._fwd_batched(
             self.variables, jnp.asarray(pairs), self.anchors
         )
@@ -284,21 +285,20 @@ class Detector:
         """consecutive-frame raw API: frames is (F, H, W, 3); backbone runs
         once per frame (see detect_clip).
 
-        NOTE: one jit cache entry per distinct F -- every new clip length
+        NOTE: jax.jit traces once per distinct F -- every new clip length
         recompiles (~20-40 s cold). ClipTracker avoids this by chunking
         clips to a fixed F (plus at most one tail size); callers feeding
         arbitrary-length clips directly should pad to a fixed F themselves.
         """
-        f = len(frames)
         if not hasattr(self, "_fwd_clip"):
-            self._fwd_clip = {}
-        if f not in self._fwd_clip:
-            self._fwd_clip[f] = jax.jit(
+            # one jitted function: jax.jit itself caches one compilation
+            # per input shape, so no per-F bookkeeping is needed here.
+            self._fwd_clip = jax.jit(
                 functools.partial(detect_clip, self.model, cfg=self.cfg)
             )
         if isinstance(frames, np.ndarray):
             frames = self._maybe_s2d(frames)
-        return self._fwd_clip[f](self.variables, jnp.asarray(frames), self.anchors)
+        return self._fwd_clip(self.variables, jnp.asarray(frames), self.anchors)
 
     def _to_array(self, im) -> np.ndarray:
         if isinstance(im, np.ndarray):

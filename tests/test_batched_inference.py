@@ -31,3 +31,23 @@ def test_batched_matches_single(detector, rng):
             np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
         v0 = np.asarray(single.valid[0])
         assert np.isfinite(np.asarray(batched.tracks[p])[v0]).all()
+
+
+def test_detect_pairs_mixed_dtype_list_normalizes(detector, rng):
+    """a list mixing uint8 and float pairs must behave like the all-float
+    list: stacking without promotion would smuggle 0-255 values into a
+    float batch that skips the device /255."""
+    det, cfg = detector
+    h, w = cfg.INPUT_SHAPE
+    f0 = rng.rand(2, h, w, 3).astype(np.float32)
+    f1 = rng.rand(2, h, w, 3).astype(np.float32)
+    u1 = np.clip(np.rint(f1 * 255.0), 0, 255).astype(np.uint8)
+
+    ref = det.detect_pairs([f0, u1.astype(np.float32) / 255.0])
+    got = det.detect_pairs([f0, u1])
+    np.testing.assert_array_equal(
+        np.asarray(got.valid), np.asarray(ref.valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.boxes), np.asarray(ref.boxes), rtol=1e-4, atol=1e-5
+    )
