@@ -101,6 +101,11 @@ class VIDPairSource:
                 raise RuntimeError(
                     f"snippet {sid}: {n_frames} frames but {n_labels} labels"
                 )
+            if n_frames == 0:
+                # an empty snippet passes the count check (0 == 0) but
+                # would produce a negative frame index mid-training;
+                # fail here where the integrity validation lives.
+                raise RuntimeError(f"snippet {sid}: no frames found")
             self._framecounts[sid] = n_frames
         self._snippets = list(self._framecounts)
 
@@ -111,6 +116,9 @@ class VIDPairSource:
         sid = self.rng.choice(self._snippets)
         n = self._framecounts[sid]
         tau = sample_dlaplace(self.a, self.rng)
+        # np.clip(tau, 0, n-1) parity (reference imagenet.py:73): negative
+        # dlaplace draws clamp to 0, so ~38% of draws at a=0.5 become
+        # identical-frame pairs -- the reference's exact behavior.
         tau = int(min(max(tau, 0), n - 1))
         i0 = self.rng.randrange(0, n - tau)
         return tuple(
@@ -133,9 +141,17 @@ class VIDSampler(DataSampler):
         a: float,
         seed: int = None,
     ) -> None:
+        self._seed = seed
         rng = random.Random(seed)
         self._source = VIDPairSource(data_root, snippet_ids, a, rng)
         self._translator = ClassTranslator(data_root, "VID")
+
+    def reseed(self, salt: int) -> None:
+        """salt an EXPLICITLY-seeded stream (resume support: a rebuilt
+        sampler must not replay the instances already trained on).
+        Entropy-seeded samplers (seed=None) are left untouched."""
+        if self._seed is not None:
+            self._source.rng = random.Random(f"{self._seed}/{salt}")
 
     def sample(self) -> Tuple[ImageInstance, ImageInstance]:
         return tuple(
@@ -174,6 +190,7 @@ class DETSampler(DataSampler):
     (reference imagenet.py:153-222)."""
 
     def __init__(self, data_root: PathLike, seed: int = None) -> None:
+        self._seed = seed
         self.rng = random.Random(seed)
         self._translator = ClassTranslator(data_root, "VID")
         allowed_ids: Set[str] = set(self._translator.id_to_int)
@@ -183,6 +200,13 @@ class DETSampler(DataSampler):
         frame_root = Path(data_root, "Data", "DET")
         self._by_class: Dict[str, List[RawImageInstance]] = defaultdict(list)
 
+        # QUIRK (reference-faithful, imagenet.py:167): the DET list files
+        # are indexed with the VID class ints (1..30, map_vid.txt), not the
+        # DET ints of those wnids (map_det.txt) -- on a real ILSVRC tree
+        # this scans the lists of DET classes 1-30 (alphabetical), not the
+        # lists of the 30 VID classes. The label-subset filter below still
+        # keeps only pure-VID-class images, so training stays correct; the
+        # class MIX of DET augmentation just mirrors the reference's.
         lists = [("train", f"train_{i}") for i in sorted(allowed_ints)]
         lists.append(("val", "val"))
         for mode, name in lists:
@@ -225,7 +249,18 @@ class ImagenetSampler(DataSampler):
         self._vid = vid_sampler
         self._det = det_sampler
         self.p_det = p_det
+        self._seed = seed
         self.rng = random.Random(seed)
+
+    def reseed(self, salt: int) -> None:
+        """see VIDSampler.reseed; delegates to both mixture branches."""
+        if self._seed is not None:
+            self.rng = random.Random(f"{self._seed}/{salt}")
+        for s in (self._vid, self._det):
+            if hasattr(s, "reseed"):
+                s.reseed(salt)
+            elif getattr(s, "_seed", None) is not None:
+                s.rng = random.Random(f"{s._seed}/{salt}")
 
     def sample(self) -> Tuple[ImageInstance, ImageInstance]:
         if sample_bernoulli(self.p_det, self.rng):
@@ -255,6 +290,11 @@ def find_vid_trn_snippet_ids(data_root: PathLike) -> Tuple[str, ...]:
     label_root = Path(data_root, "Annotations", "VID", "train")
 
     ids = []
+    # QUIRK (reference-faithful, imagenet.py:329): the glob is exactly the
+    # reference's `train_[0-9]?.txt`, which matches train_10..train_99 but
+    # NOT single-digit lists (train_1.txt..train_9.txt) -- on a standard
+    # ILSVRC2015 tree the snippets listed only for classes 1-9 are skipped,
+    # in both frameworks identically.
     for list_path in sorted(imagesets.glob("train_[0-9]?.txt")):
         with open(list_path) as f:
             for line in f:
@@ -282,8 +322,14 @@ def setup_vid_datasets(
     trn_snips, val_snips = partition_items(snippet_ids, vid_partition_sizes)
 
     trn_vid = VIDSampler(data_root, trn_snips, a, seed)
-    val_manager = VIDManager(data_root, val_snips, val_size, seed)
-    rep_manager = VIDManager(data_root, trn_snips, rep_size, seed)
+    # val/report sets are FIXED draws even when the train stream is entropy-
+    # seeded: early stopping compares val losses across epochs and across
+    # watchdog exec-restarts, which only means something on a stable set.
+    # (Deviation from the reference, which draws from the unseeded global
+    # rng at construction; pass an explicit seed to override.)
+    fixed = seed if seed is not None else 0
+    val_manager = VIDManager(data_root, val_snips, val_size, fixed)
+    rep_manager = VIDManager(data_root, trn_snips, rep_size, fixed)
 
     det = DETSampler(data_root, seed)
     trn = ImagenetSampler(trn_vid, det, p_det, seed)

@@ -76,6 +76,12 @@ class DataManagerWrapper(DataManager):
     def __len__(self) -> int:
         return self.nominal_len
 
+    def reseed(self, salt: int) -> None:
+        """resume support: salt the wrapped sampler's stream (if seeded) so
+        a rebuilt process does not replay already-trained instances."""
+        if hasattr(self.sampler, "reseed"):
+            self.sampler.reseed(salt)
+
 
 # ---------------------------------------------------------------------------
 # fixed-shape batch types

@@ -477,6 +477,19 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        # bounded put that notices consumer shutdown: a consumer that
+        # breaks early (max_iters mid-epoch) must not leave this thread
+        # blocked forever holding `depth` decoded batches.
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.25)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         # a crash in decode/packing must abort training with the original
@@ -484,20 +497,29 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
         # consumer and re-raise it there.
         try:
             for item in iterator:
-                q.put(item)
-            q.put(sentinel)
+                if not put(item):
+                    return
+            put(sentinel)
         except BaseException as e:  # noqa: BLE001 - relayed, not swallowed
-            q.put(e)
+            put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # generator close/GC path: release the producer and its buffers
+        stop.set()
+        try:
+            q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 # ---------------------------------------------------------------------------
@@ -563,7 +585,17 @@ class DetectTrackTrainer:
         self.val_loader = BatchLoader(
             val_manager, cfg.BATCH_SIZE, cfg, seed=1, shuffle=False
         )
+        if len(self.val_loader) == 0:
+            # fail fast: zero val batches would make every epoch's val loss
+            # 0/0 = NaN, so no checkpoint is ever written and the run
+            # trains to PATIENCE for nothing.
+            raise ValueError(
+                f"validation manager yields 0 batches "
+                f"({len(val_manager)} instances at BATCH_SIZE="
+                f"{cfg.BATCH_SIZE}); raise VAL_SIZE or lower BATCH_SIZE"
+            )
         self.rep_manager = rep_manager
+        self._report_detector = None  # built once, params swapped per report
 
         self.output_dir = Path(cfg.OUTPUT_DIR)
         self.output_dir.mkdir(parents=True, exist_ok=True)
@@ -629,9 +661,21 @@ class DetectTrackTrainer:
                 # donated buffers.
                 self.state, dtl = self._train_step(self.state, batch)
                 dtl = jax.device_get(dtl)
-                if not self._check_finite(dtl):
-                    if self.cfg.NAN_POLICY == "skip":
-                        continue
+                skipped = (
+                    not self._check_finite(dtl)
+                    and self.cfg.NAN_POLICY == "skip"
+                )
+                if skipped:
+                    # the skipped batch still advances the instance budget
+                    # (run(max_iters) must terminate even on a bad shard)
+                    # and still runs the host-RSS watchdog: the remote
+                    # client retains the batch's transfer bytes whether or
+                    # not the update was applied (PERF.md "host memory").
+                    self.n_iters += self.cfg.BATCH_SIZE
+                    self._check_host_memory()
+                    if self.n_iters >= self._max_iters:
+                        break
+                    continue
                 trn_loss = trn_loss + dtl
                 window = window + dtl
                 self.n_iters += self.cfg.BATCH_SIZE
@@ -704,9 +748,16 @@ class DetectTrackTrainer:
         from .inference import Detector
         from .vis import draw_detections
 
-        detector = Detector(
-            self.model, {"params": self.state.params}, self.cfg
-        )
+        # ONE Detector across epochs, params swapped per report: a fresh
+        # Detector would create fresh jax.jit wrappers and recompile the
+        # whole inference graph every epoch (same fix as evaluate.py).
+        if getattr(self, "_report_detector", None) is None:
+            self._report_detector = Detector(
+                self.model, {"params": self.state.params}, self.cfg
+            )
+        else:
+            self._report_detector.variables = {"params": self.state.params}
+        detector = self._report_detector
         rep_dir = self.output_dir / "report"
         rep_dir.mkdir(exist_ok=True)
         images = {}
@@ -849,6 +900,14 @@ class DetectTrackTrainer:
             self.trn_loader.dropped_labels = int(
                 meta.get("dropped_labels", 0)
             )
+        # explicitly-seeded nondeterministic samplers would REPLAY the
+        # already-trained stream after an exec-restart (the rng state is
+        # rebuilt from the same seed); salt them with the restored step so
+        # the resumed run continues on fresh draws. Deterministic managers
+        # (fixed lists) and entropy-seeded samplers are unaffected.
+        reseed = getattr(self.trn_loader.manager, "reseed", None)
+        if callable(reseed):
+            reseed(int(self.state.step))
 
     def step(self) -> None:
         trn_loss = self.train()

@@ -248,3 +248,50 @@ def test_loader_workers_deterministic(tmp_path):
         np.testing.assert_array_equal(a.images, b.images)
         np.testing.assert_array_equal(a.labels.boxes, b.labels.boxes)
         np.testing.assert_array_equal(a.labels.mask, b.labels.mask)
+
+
+def test_sampler_reseed_changes_stream_only_when_seeded(ilsvrc):
+    """resume support: reseed(salt) must move an explicitly-seeded sampler
+    off its original stream (a rebuilt process would otherwise replay the
+    instances already trained on) and leave the default entropy-seeded
+    sampler API intact."""
+    ids = find_vid_trn_snippet_ids(ilsvrc)
+
+    a = VIDSampler(ilsvrc, ids, a=0.8, seed=7)
+    b = VIDSampler(ilsvrc, ids, a=0.8, seed=7)
+    b.reseed(salt=123)
+    draws_a = [a._source.sample() for _ in range(20)]
+    draws_b = [b._source.sample() for _ in range(20)]
+    assert draws_a != draws_b  # salted stream diverges
+
+    c = VIDSampler(ilsvrc, ids, a=0.8, seed=7)
+    c.reseed(salt=123)
+    draws_c = [c._source.sample() for _ in range(20)]
+    assert draws_b == draws_c  # ...deterministically
+
+    # wrapper delegation (what trainer.restore() calls)
+    from detect_to_track_tpu.data.types import DataManagerWrapper
+
+    d = VIDSampler(ilsvrc, ids, a=0.8, seed=7)
+    w = DataManagerWrapper(d, nominal_len=10)
+    w.reseed(123)
+    draws_d = [d._source.sample() for _ in range(20)]
+    assert draws_d == draws_b
+
+
+def test_empty_snippet_dir_fails_at_init(ilsvrc, tmp_path):
+    """a snippet directory with zero frames passes the frame==label count
+    check (0 == 0) but must be rejected at init, not crash mid-training
+    with a negative frame index."""
+    import shutil
+
+    root = tmp_path / "tree"
+    shutil.copytree(ilsvrc, root)
+    ids = find_vid_trn_snippet_ids(root)
+    empty = root / "Data" / "VID" / "train" / ids[0]
+    for f in empty.glob("*.JPEG"):
+        f.unlink()
+    for f in (root / "Annotations" / "VID" / "train" / ids[0]).glob("*.xml"):
+        f.unlink()
+    with pytest.raises(RuntimeError, match="no frames"):
+        VIDSampler(root, ids, a=0.8, seed=0)

@@ -251,3 +251,55 @@ def test_ps_roi_pool_channel_validation(rng):
     rois = np.zeros((1, 4), np.float32)
     with pytest.raises(ValueError):
         ps_roi_pool(fm, rois, 2, 3)
+
+
+def test_trainer_rejects_empty_val_loader():
+    """zero val batches would make every epoch's val loss 0/0 = NaN -- no
+    checkpoint ever saved; the trainer must fail at construction."""
+    import jax.numpy as jnp
+
+    from detect_to_track_tpu.data.synthetic import SyntheticVIDManager
+    from detect_to_track_tpu.trainer import DetectTrackTrainer
+    from tests.test_train_step import TINY, tiny_model
+
+    cfg = TINY
+    model = tiny_model(cfg)
+    h, w = cfg.INPUT_SHAPE
+    import jax
+
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, h, w, 3), jnp.float32),
+        jnp.full((2, cfg.MAX_ROIS, 4), 0.4, jnp.float32),
+    )
+    trn = SyntheticVIDManager(n_samples=4, image_hw=cfg.INPUT_SHAPE,
+                              n_classes=cfg.N_CLASSES)
+    val = SyntheticVIDManager(n_samples=1, image_hw=cfg.INPUT_SHAPE,
+                              n_classes=cfg.N_CLASSES)  # < BATCH_SIZE=2
+    with pytest.raises(ValueError, match="0 batches"):
+        DetectTrackTrainer(model, variables, trn, val, None, cfg)
+
+
+def test_prefetch_stops_producer_on_early_close():
+    """a consumer that stops early (max_iters mid-epoch) must release the
+    producer thread instead of leaving it blocked on a full queue holding
+    decoded batches for the rest of the process."""
+    import time
+
+    from detect_to_track_tpu.trainer import prefetch
+
+    produced = []
+
+    def src():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    it = prefetch(src(), depth=2)
+    assert next(it) == 0
+    it.close()  # early stop
+    time.sleep(0.6)  # > the producer's 0.25 s put timeout
+    n = len(produced)
+    time.sleep(0.6)
+    assert len(produced) == n  # producer no longer draining the source
+    assert n < 1000
