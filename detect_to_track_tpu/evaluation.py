@@ -40,32 +40,46 @@ def detection_map(
     greedy by descending score with one-to-one gt assignment at
     IoU > iou_thresh.
     """
+    n_images = len(gt_classes)
+    if not (len(det_confs) == len(det_boxes) == n_images == len(gt_boxes)):
+        # silently zipping unequal lists would DROP the ground truths of
+        # images missing from the detection lists, inflating recall/mAP.
+        raise ValueError(
+            f"detection and ground-truth lists must cover the same images: "
+            f"got {len(det_confs)}/{len(det_boxes)} detection entries vs "
+            f"{n_images}/{len(gt_boxes)} ground-truth entries"
+        )
+
     aps = {}
     for c in range(1, n_classes + 1):
-        # gather detections of class c across all images
-        records = []  # (score, image_idx, box)
-        n_gt = 0
-        for i, (confs, boxes) in enumerate(zip(det_confs, det_boxes)):
-            if len(confs):
-                for score, box in zip(confs[:, c], boxes):
-                    records.append((float(score), i, box))
-            n_gt += int((gt_classes[i] == c).sum())
+        # one gt slice + one (D_i, G_i) IoU matrix per image per class --
+        # NOT one 1xG IoU call per detection record (Python overhead
+        # dominated eval wall-clock).
+        gtb_c = [gt_boxes[i][gt_classes[i] == c] for i in range(n_images)]
+        n_gt = sum(len(g) for g in gtb_c)
         if n_gt == 0:
             continue
+        iou_c = [
+            compute_ious_np(np.asarray(det_boxes[i]), gtb_c[i])
+            if len(det_boxes[i]) and len(gtb_c[i])
+            else None
+            for i in range(n_images)
+        ]
+
+        records = []  # (score, image_idx, det_idx)
+        for i, confs in enumerate(det_confs):
+            for d in range(len(confs)):
+                records.append((float(confs[d, c]), i, d))
         records.sort(key=lambda r: -r[0])
 
-        matched = {
-            i: np.zeros(int((gt_classes[i] == c).sum()), bool)
-            for i in range(len(gt_classes))
-        }
+        matched = {i: np.zeros(len(gtb_c[i]), bool) for i in range(n_images)}
         tp = np.zeros(len(records))
         fp = np.zeros(len(records))
-        for n, (score, i, box) in enumerate(records):
-            gtb = gt_boxes[i][gt_classes[i] == c]
-            if len(gtb) == 0:
+        for n, (score, i, d) in enumerate(records):
+            if iou_c[i] is None:
                 fp[n] = 1
                 continue
-            ious = compute_ious_np(box.reshape(1, 4), gtb)[0]
+            ious = iou_c[i][d]
             j = int(np.argmax(ious))
             if ious[j] > iou_thresh and not matched[i][j]:
                 matched[i][j] = True

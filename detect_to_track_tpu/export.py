@@ -25,6 +25,7 @@ def export_detector(
     cfg: Config,
     path: str,
     pair_batch: int = 1,
+    platforms=None,
 ) -> None:
     """serialize the batched pair-detection graph to `path`.
 
@@ -51,7 +52,11 @@ def export_detector(
         )
     else:
         spec = jax.ShapeDtypeStruct((pair_batch, 2, h, w, 3), jnp.float32)
-    exported = jexport.export(jax.jit(fn))(spec)
+    # platforms: jax.export pins the artifact to the exporting machine's
+    # backend by default -- exporting on a TPU host for CPU serving (or
+    # vice versa) needs an explicit list, e.g. platforms=("tpu", "cpu").
+    kw = {"platforms": tuple(platforms)} if platforms else {}
+    exported = jexport.export(jax.jit(fn), **kw)(spec)
     Path(path).write_bytes(exported.serialize())
 
 
@@ -61,4 +66,15 @@ def load_detector(path: str):
     from jax import export as jexport
 
     exported = jexport.deserialize(Path(path).read_bytes())
-    return lambda images: exported.call(jnp.asarray(images, jnp.float32))
+
+    def call(images):
+        images = jnp.asarray(images)
+        if images.dtype == jnp.uint8:
+            # the artifact was traced for float32 [0,1] inputs; the live
+            # Detector's on-device uint8-normalize branch does NOT exist in
+            # it, so a bare float cast would feed 0-255 values into a [0,1]
+            # graph with no error.
+            images = images.astype(jnp.float32) / 255.0
+        return exported.call(images.astype(jnp.float32))
+
+    return call

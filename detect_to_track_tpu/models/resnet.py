@@ -241,8 +241,13 @@ class ResNetBackbone(nn.Module):
 
         # (planes, stride, dilation) per layer; layer4 is stride-reduced with
         # dilation 2 (replace_stride_with_dilation=(False, False, 2)).
+        # torchvision's _make_layer gives the FIRST block of a dilated layer
+        # previous_dilation (= 1 here) -- only blocks 1+ run dilated. Getting
+        # this wrong is silent (shapes match) but diverges converted real
+        # torchvision/reference weights numerically.
         layer_cfg = [(64, 1, 1), (128, 2, 1), (256, 2, 1), (512, 1, 2)]
         feats = {}
+        prev_dilation = 1
         for li, ((planes, stride, dilation), n_blocks) in enumerate(
             zip(layer_cfg, blocks), start=1
         ):
@@ -254,13 +259,14 @@ class ResNetBackbone(nn.Module):
                 x = block_cls(
                     planes=planes,
                     strides=stride if bi == 0 else 1,
-                    dilation=dilation,
+                    dilation=prev_dilation if bi == 0 else dilation,
                     groups=groups,
                     base_width=base_width,
                     has_downsample=(bi == 0),
                     dtype=self.dtype,
                     name=f"layer{li}_{bi}",
                 )(x)
+            prev_dilation = dilation
             if li >= 2:
                 out = x
                 if 0 < self.first_trainable_stage and li < self.first_trainable_stage:

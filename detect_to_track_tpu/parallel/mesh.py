@@ -53,13 +53,9 @@ def make_parallel_train_step(
     """the SPMD version of trainer.make_train_step: state replicated, batch
     sharded over `axis`; the jitted step's gradient mean over the batch
     lowers to an all-reduce over ICI."""
-    base = make_train_step(model, cfg, tx)  # already jitted; re-jit w/ shardings
+    step = make_train_step(model, cfg, tx, jit=False)  # ONE jit, below
     rep = NamedSharding(mesh, P())
     shd = NamedSharding(mesh, P(axis))
-
-    def step(state: TrainState, batch):
-        return base(state, batch)
-
     return jax.jit(
         step,
         in_shardings=(rep, shd),

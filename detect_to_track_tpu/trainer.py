@@ -221,8 +221,14 @@ def make_optimizer(cfg: Config, params) -> optax.GradientTransformation:
 
 
 def make_train_step(
-    model: DetectTrackModule, cfg: Config, tx: optax.GradientTransformation
+    model: DetectTrackModule,
+    cfg: Config,
+    tx: optax.GradientTransformation,
+    jit: bool = True,
 ) -> Callable:
+    """jit=False returns the raw step for callers that apply their own jit
+    (parallel/mesh.py jits ONCE with shardings + donation; nesting jits
+    would silently drop the inner donate_argnums)."""
     anchors = jnp.asarray(
         build_anchors(cfg.fm_shape, cfg.ANCHOR_AREAS, cfg.ANCHOR_ASPECT_RATIOS)
     )
@@ -308,6 +314,8 @@ def make_train_step(
             )
         return new_state, dtl
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=(0,))
 
 

@@ -57,6 +57,7 @@ class _TorchResNet(tnn.Module):
         self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
         cfgs = [(64, 1, 1), (128, 2, 1), (256, 2, 1), (512, 1, 2)]
         cin = 64
+        prev_dil = 1
         for li, ((planes, stride, dil), n) in enumerate(zip(cfgs, blocks), 1):
             layers = []
             for bi in range(n):
@@ -65,12 +66,15 @@ class _TorchResNet(tnn.Module):
                         cin if bi == 0 else planes * 4,
                         planes,
                         stride if bi == 0 else 1,
-                        dil,
+                        # torchvision: first block of a dilated layer uses
+                        # previous_dilation (1), only blocks 1+ dilate
+                        prev_dil if bi == 0 else dil,
                         groups,
                         base_width,
                         downsample=(bi == 0),
                     )
                 )
+            prev_dil = dil
             setattr(self, f"layer{li}", tnn.Sequential(*layers))
             cin = planes * 4
 
