@@ -59,7 +59,7 @@ def main() -> None:
     # higher throughput at larger batches (b4 44 / b8 50 / b16 52 pairs/s
     # measured), so the headline trains at b16.
     cfg = Config(BATCH_SIZE=16)
-    dtype = jnp.bfloat16 if cfg.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    dtype = cfg.compute_dtype
     model = DetectTrackModule(
         backbone_arch=cfg.BACKBONE_ARCH,
         first_trainable_stage=cfg.FIRST_TRAINABLE_STAGE,

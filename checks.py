@@ -62,7 +62,7 @@ def check_anchors(cfg) -> None:
 
 
 def main() -> None:
-    parser = ArgumentParser(__doc__)
+    parser = ArgumentParser(description=__doc__)
     parser.add_argument("-c", "--cfg", default="cfg/default.yaml")
     parser.add_argument("--sampler", action="store_true")
     parser.add_argument("--anchors", action="store_true")

@@ -155,6 +155,42 @@ class Config:
     # trace written to this directory (perfetto-compatible).
     PROFILE_DIR: str = ""
 
+    def __post_init__(self) -> None:
+        # value validation (unknown KEYS already raise in load_config; bad
+        # VALUES must fail here, not surface as a shape error deep inside
+        # the first jitted step or a silent float32 fallback).
+        h, w = self.INPUT_SHAPE
+        if h % self.FM_STRIDE or w % self.FM_STRIDE:
+            raise ValueError(
+                f"INPUT_SHAPE {self.INPUT_SHAPE} must be a multiple of "
+                f"FM_STRIDE {self.FM_STRIDE}: the anchor grid is built from "
+                f"INPUT_SHAPE // FM_STRIDE and would mismatch the backbone's "
+                f"actual feature map"
+            )
+        if self.HOST_S2D and (h % 2 or w % 2):
+            raise ValueError(
+                f"HOST_S2D requires even INPUT_SHAPE, got {self.INPUT_SHAPE}"
+            )
+        if self.COMPUTE_DTYPE not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"COMPUTE_DTYPE must be 'float32' or 'bfloat16', got "
+                f"{self.COMPUTE_DTYPE!r} (e.g. 'bf16' would silently train "
+                f"in float32 otherwise)"
+            )
+        if self.NAN_POLICY not in ("warn", "raise", "skip"):
+            raise ValueError(
+                f"NAN_POLICY must be 'warn', 'raise' or 'skip', got "
+                f"{self.NAN_POLICY!r}"
+            )
+
+    @property
+    def compute_dtype(self):
+        """the jnp dtype for COMPUTE_DTYPE (one definition for the decode
+        that was previously copy-pasted across every entry point)."""
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+
     @property
     def n_anchors_per_cell(self) -> int:
         return len(self.ANCHOR_AREAS) * len(self.ANCHOR_ASPECT_RATIOS)

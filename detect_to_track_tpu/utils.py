@@ -50,7 +50,11 @@ def promote_mixed_image_dtypes(arrays):
 
 
 def get_subset_lengths(dataset_length: int, subset_length: int):
-    """lengths of dataset splits (reference utils.py:181-187)."""
+    """lengths of dataset splits (reference utils.py:181-187).
+
+    QUIRK (reference-faithful): an evenly-divisible length appends a
+    trailing 0-length subset, exactly like the reference (which also never
+    calls this function anywhere)."""
     n_full = dataset_length // subset_length
     return n_full * [subset_length] + [dataset_length % subset_length]
 
@@ -89,8 +93,6 @@ def space_to_depth2(x):
     frames stay uint8 -- same bytes through the tunnel as the plain
     layout).
     """
-    import numpy as np
-
     *lead, h, w, c = x.shape
     if h % 2 or w % 2 or c != 3:
         raise ValueError(f"space_to_depth2 needs even HxW and C=3, got {x.shape}")
@@ -101,8 +103,6 @@ def space_to_depth2(x):
 
 def depth_to_space2(z):
     """inverse of space_to_depth2: (..., H/2, W/2, 12) -> (..., H, W, 3)."""
-    import numpy as np
-
     *lead, h2, w2, c12 = z.shape
     if c12 != 12:
         raise ValueError(f"depth_to_space2 needs C=12, got {z.shape}")

@@ -23,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> None:
-    parser = ArgumentParser(__doc__)
+    parser = ArgumentParser(description=__doc__)
     parser.add_argument("-c", "--cfg", default="cfg/default.yaml")
     parser.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
     parser.add_argument(
@@ -61,7 +61,7 @@ def main() -> None:
     from detect_to_track_tpu.models import DetectTrackModule
 
     cfg = load_config(args.cfg)
-    dtype = jnp.bfloat16 if cfg.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    dtype = cfg.compute_dtype
     model = DetectTrackModule(
         backbone_arch=cfg.BACKBONE_ARCH,
         n_anchors=cfg.n_anchors_per_cell,

@@ -105,3 +105,24 @@ def test_psroi_channel_map_flag_changes_output(rng):
     quirk = np.asarray(ps_roi_pool(fm, rois, 2, 3, False))
     paper = np.asarray(ps_roi_pool(fm, rois, 2, 3, True))
     assert not np.allclose(quirk, paper)
+
+
+def test_config_value_validation():
+    """bad VALUES fail at load, not as shape errors deep in the first
+    jitted step (stride mismatch) or a silent float32 fallback (dtype)."""
+    import pytest
+
+    from detect_to_track_tpu.config import Config
+
+    with pytest.raises(ValueError, match="FM_STRIDE"):
+        Config(INPUT_SHAPE=(600, 1200), FM_STRIDE=16)
+    with pytest.raises(ValueError, match="COMPUTE_DTYPE"):
+        Config(COMPUTE_DTYPE="bf16")
+    with pytest.raises(ValueError, match="NAN_POLICY"):
+        Config(NAN_POLICY="ignore")
+    with pytest.raises(ValueError, match="HOST_S2D"):
+        Config(INPUT_SHAPE=(609, 1201), FM_STRIDE=1, HOST_S2D=True)
+    import jax.numpy as jnp
+
+    assert Config().compute_dtype == jnp.bfloat16
+    assert Config(COMPUTE_DTYPE="float32").compute_dtype == jnp.float32

@@ -55,9 +55,7 @@ def main() -> None:
         k=cfg.K,
         d_max=cfg.D_MAX,
         r_hw=cfg.K,
-        dtype=jnp.bfloat16
-        if cfg.COMPUTE_DTYPE == "bfloat16"
-        else jnp.float32,
+        dtype=cfg.compute_dtype,
     )
     manager = SyntheticVIDManager(
         n_samples=bs, image_hw=cfg.INPUT_SHAPE, n_classes=cfg.N_CLASSES

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 
 def main() -> None:
-    parser = ArgumentParser(__doc__)
+    parser = ArgumentParser(description=__doc__)
     parser.add_argument(
         "-c", "--cfg", default="cfg/default.yaml", help="path to cfg file"
     )
@@ -60,10 +60,13 @@ def main() -> None:
             import wandb
 
             wandb.init(config=cfg.__dict__)
-    except Exception:
-        pass
+    except Exception as e:
+        # the user EXPLICITLY opted in via WANDB_MODE; failing silently
+        # would divert metrics to the JSONL fallback with no warning.
+        print(f"WARNING: WANDB_MODE set but wandb.init failed ({e}); "
+              "falling back to JSONL/stdout logging")
 
-    dtype = jnp.bfloat16 if cfg.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    dtype = cfg.compute_dtype
     model = DetectTrackModule(
         backbone_arch=cfg.BACKBONE_ARCH,
         first_trainable_stage=cfg.FIRST_TRAINABLE_STAGE,
