@@ -88,6 +88,7 @@ class Config:
     # reference keeps ALL survivors -- see DESIGN.md "ROI capacity" for the
     # survivor-count measurement justifying this bound)
     MAX_DETS: int = 128  # final detections per frame after RCNN filtering
+    # (effective capacity is min(MAX_DETS, MAX_ROIS) -- see `max_dets`)
 
     # quirk flags: the reference has documented bugs/quirks; each can be
     # replicated (default, for parity) or fixed.
@@ -204,6 +205,14 @@ class Config:
     def n_anchors(self) -> int:
         fh, fw = self.fm_shape
         return fh * fw * self.n_anchors_per_cell
+
+    @property
+    def max_dets(self) -> int:
+        """effective per-frame detection capacity. At most MAX_ROIS proposals
+        survive NMS, so compacting to more than MAX_ROIS slots is impossible
+        (lax.top_k requires k <= input size) and pointless; small configs can
+        shrink MAX_ROIS without also having to lower MAX_DETS."""
+        return min(self.MAX_DETS, self.MAX_ROIS)
 
     def _derived_topk(self, max_rois: int) -> int:
         if self.PRE_NMS_TOPK is not None:

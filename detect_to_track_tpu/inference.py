@@ -80,10 +80,10 @@ def _detect_frames(model, variables, x, anchors, cfg):
     fg_conf = c_hat[:, :, 1:].sum(-1)  # (N, R)
     keep = (fg_conf > cfg.EVAL_RCNN_CONF_THRESH) & props.valid
 
-    # compact the survivors to MAX_DETS slots per frame (a capacity the
+    # compact the survivors to max_dets slots per frame (a capacity the
     # reference does not need host-side; fg_conf ordering preserves the
     # strongest detections).
-    d = cfg.MAX_DETS
+    d = cfg.max_dets
 
     def compact(keep_f, conf_f, confs_f, boxes_f):
         key = jnp.where(keep_f, conf_f, -jnp.inf)
@@ -123,7 +123,7 @@ def detect_pairs_batched(
     fmaps_t, fm_reg, confs, boxes, valid = _detect_frames(
         model, variables, x, anchors, cfg
     )
-    d = cfg.MAX_DETS
+    d = cfg.max_dets
 
     # tracker on frame-0 final boxes (reference inference.py:108-118).
     split = {k: split_pairs(v) for k, v in fmaps_t.items()}

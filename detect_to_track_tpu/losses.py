@@ -171,7 +171,12 @@ class DTLoss:
         if coefs is None:
             coefs = jnp.ones((5,), vec.dtype)
         coefs = jnp.asarray(coefs, vec.dtype)
-        return jnp.dot(coefs, vec) / self.count
+        # empty accumulator (count==0) reduces to 0, not 0/0=NaN: an empty
+        # validation split must not poison logged metrics or best-ckpt
+        # comparisons (NaN compares False against everything).
+        return jnp.where(
+            self.count > 0, jnp.dot(coefs, vec) / jnp.maximum(self.count, 1), 0.0
+        )
 
     def asdict(self) -> dict:
         """component dict with the reference's short keys

@@ -103,6 +103,5 @@ class DetectTrackModule(nn.Module):
         fmaps = self.backbone(x)
         o_hat, b_hat, fm_reg = self.rpn(fmaps["c4"])
         c_hat, b2_hat = self.rcnn(fmaps["c5"], rois)
-        half = {key: fm for key, fm in fmaps.items()}
-        t_hat = self.c_tracker(half, half, fm_reg, fm_reg, rois)
+        t_hat = self.c_tracker(fmaps, fmaps, fm_reg, fm_reg, rois)
         return o_hat, b_hat, c_hat, b2_hat, t_hat

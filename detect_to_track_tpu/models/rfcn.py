@@ -7,8 +7,9 @@ targets), each a 1x1 conv to n_targets*k^2 position-sensitive score maps ->
 PSROIPool -> mean over the k x k grid.
 
 TPU re-design: the head is BATCHED over frames (the reference processes one
-(C, H, W) frame at a time, rfcn.py:36-38); pooling runs through the
-summed-area-table ps_roi_pool and vmaps over the batch. ROI slots carry a
+(C, H, W) frame at a time, rfcn.py:36-38); pooling runs through ps_roi_pool's
+default MXU mask-matmul path (ops/pooling.py; the SAT variant exists for
+huge-roi regimes only) and vmaps over the batch. ROI slots carry a
 validity mask downstream -- padding rois pool garbage that is masked in the
 loss / filtered at inference.
 """

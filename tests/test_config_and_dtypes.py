@@ -126,3 +126,15 @@ def test_config_value_validation():
 
     assert Config().compute_dtype == jnp.bfloat16
     assert Config(COMPUTE_DTYPE="float32").compute_dtype == jnp.float32
+
+
+def test_max_dets_clamps_to_max_rois():
+    """effective detection capacity is min(MAX_DETS, MAX_ROIS): at most
+    MAX_ROIS proposals survive NMS, and lax.top_k(k) requires k <= input
+    size -- a tiny MAX_ROIS config must not crash the detection compaction
+    (found by driving train.py with MAX_ROIS=16 < default MAX_DETS=128)."""
+    from detect_to_track_tpu.config import Config
+
+    assert Config(MAX_ROIS=16).max_dets == 16
+    assert Config(MAX_ROIS=256, MAX_DETS=128).max_dets == 128
+    assert Config(MAX_ROIS=64, MAX_DETS=64).max_dets == 64

@@ -154,6 +154,18 @@ def test_dtloss_to_scalar_coefs():
     np.testing.assert_allclose(float(l.to_scalar(coefs)), expected, rtol=1e-6)
 
 
+def test_dtloss_empty_accumulator_is_zero_not_nan():
+    """an empty accumulator (count=0, e.g. a zero-batch validation split)
+    must reduce to 0.0, not 0/0=NaN — NaN would silently poison logged val
+    metrics and best-checkpoint comparisons."""
+    empty = DTLoss()
+    assert float(empty.count) == 0.0
+    val = float(empty.to_scalar())
+    assert val == 0.0 and not np.isnan(val)
+    # and with explicit coefs
+    assert float(empty.to_scalar(jnp.ones((5,)))) == 0.0
+
+
 def test_dtloss_repr_format():
     l = DTLoss.single(*(jnp.asarray(v) for v in [0.012, 3.4, 0.5, 6e-5, 2.0]))
     s = repr(l)
