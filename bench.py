@@ -59,18 +59,7 @@ def main() -> None:
     # higher throughput at larger batches (b4 44 / b8 50 / b16 52 pairs/s
     # measured), so the headline trains at b16.
     cfg = Config(BATCH_SIZE=16)
-    dtype = cfg.compute_dtype
-    model = DetectTrackModule(
-        backbone_arch=cfg.BACKBONE_ARCH,
-        first_trainable_stage=cfg.FIRST_TRAINABLE_STAGE,
-        remat=cfg.REMAT,
-        n_anchors=cfg.n_anchors_per_cell,
-        n_classes=cfg.N_CLASSES,
-        k=cfg.K,
-        d_max=cfg.D_MAX,
-        r_hw=cfg.K,
-        dtype=dtype,
-    )
+    model = DetectTrackModule.from_config(cfg)
 
     manager = SyntheticVIDManager(
         n_samples=cfg.BATCH_SIZE, image_hw=cfg.INPUT_SHAPE,
@@ -79,12 +68,7 @@ def main() -> None:
     batch = next(iter(BatchLoader(manager, cfg.BATCH_SIZE, cfg, seed=0)))
     batch = jax.device_put(batch)
 
-    h, w = cfg.INPUT_SHAPE
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((2, h, w, 3), jnp.float32),
-        jnp.full((2, cfg.MAX_ROIS, 4), 0.4, jnp.float32),
-    )
+    variables = model.init_variables(jax.random.PRNGKey(0), cfg)
     # the train step donates its state; keep `variables` alive for the
     # inference benchmark below by training on a copy.
     params = jax.tree_util.tree_map(jnp.copy, variables["params"])

@@ -338,6 +338,21 @@ def setup_vid_datasets(
     return trn_manager, val_manager, rep_manager
 
 
+def setup_val_manager(
+    data_root: PathLike,
+    vid_partition_sizes: Tuple[float, float],
+    val_size: int,
+    seed: int = None,
+) -> DataManager:
+    """the val manager ALONE, with the identical deterministic snippet
+    partition as setup_vid_datasets. Eval runs need only this: building the
+    full training stack would construct DETSampler, whose init parses every
+    listed DET annotation XML -- minutes of wasted IO on a real ILSVRC tree."""
+    snippet_ids = find_vid_trn_snippet_ids(data_root)
+    _, val_snips = partition_items(snippet_ids, vid_partition_sizes)
+    return VIDManager(data_root, val_snips, val_size, seed if seed is not None else 0)
+
+
 def make_mock_dataset(data_root: PathLike, n_samples: int) -> DataManager:
     """small VID-only subset for quick iteration (reference
     imagenet.py:371-376)."""

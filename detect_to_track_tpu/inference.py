@@ -246,37 +246,40 @@ class Detector:
             return space_to_depth2(x)
         return x
 
+    def _pack_input(self, x):
+        """shared ingestion guard for the raw batched APIs (detect_pairs /
+        detect_clip). A HOST array gets HOST_S2D applied; a list of host
+        arrays promotes mixed uint8/float entries WITH the /255 applied
+        before stacking (stacking raw would smuggle 0-255 values into a
+        float batch that skips the device /255 -- same guard as __call__);
+        a list holding any device array stacks ON DEVICE with the same
+        dtype promotion -- np.asarray would silently download every element
+        through the tunnel."""
+        if isinstance(x, np.ndarray):
+            return self._maybe_s2d(x)
+        if isinstance(x, (list, tuple)):
+            if all(isinstance(p, np.ndarray) for p in x):
+                from .utils import promote_mixed_image_dtypes
+
+                return self._maybe_s2d(
+                    np.asarray(promote_mixed_image_dtypes(list(x)))
+                )
+            parts = [jnp.asarray(p) for p in x]
+            if len({p.dtype for p in parts}) > 1:
+                parts = [
+                    p.astype(jnp.float32) / 255.0
+                    if p.dtype == jnp.uint8
+                    else p.astype(jnp.float32)
+                    for p in parts
+                ]
+            return jnp.stack(parts)
+        return x
+
     def detect_pairs(self, pairs) -> PairDetections:
         """batched raw API: pairs is (P, 2, H, W, 3) numpy/PIL-free input;
         returns padded PairDetections with leading P axis (host trimming is
         the caller's job -- see ClipTracker)."""
-        if isinstance(pairs, np.ndarray):
-            # host input: apply HOST_S2D here (device arrays pass through
-            # untouched -- never force a device->host copy).
-            pairs = self._maybe_s2d(pairs)
-        elif isinstance(pairs, (list, tuple)):
-            # a list of HOST arrays packs on host (S2D applies); a list
-            # holding any device array stacks ON DEVICE -- np.asarray here
-            # would silently download every element through the tunnel.
-            # Mixed uint8/float entries promote with the /255 applied
-            # (stacking would otherwise smuggle 0-255 values into a float
-            # batch that skips the device /255 -- same guard as __call__).
-            if all(isinstance(p, np.ndarray) for p in pairs):
-                from .utils import promote_mixed_image_dtypes
-
-                pairs = self._maybe_s2d(
-                    np.asarray(promote_mixed_image_dtypes(list(pairs)))
-                )
-            else:
-                parts = [jnp.asarray(p) for p in pairs]
-                if len({p.dtype for p in parts}) > 1:
-                    parts = [
-                        p.astype(jnp.float32) / 255.0
-                        if p.dtype == jnp.uint8
-                        else p.astype(jnp.float32)
-                        for p in parts
-                    ]
-                pairs = jnp.stack(parts)
+        pairs = self._pack_input(pairs)
         return self._fwd_batched(
             self.variables, jnp.asarray(pairs), self.anchors
         )
@@ -296,8 +299,7 @@ class Detector:
             self._fwd_clip = jax.jit(
                 functools.partial(detect_clip, self.model, cfg=self.cfg)
             )
-        if isinstance(frames, np.ndarray):
-            frames = self._maybe_s2d(frames)
+        frames = self._pack_input(frames)
         return self._fwd_clip(self.variables, jnp.asarray(frames), self.anchors)
 
     def _to_array(self, im) -> np.ndarray:

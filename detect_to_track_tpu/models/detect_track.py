@@ -52,6 +52,39 @@ class DetectTrackModule(nn.Module):
     stage5_outchannels: int = 2048
     rpn_channels: int = 512
 
+    @classmethod
+    def from_config(cls, cfg, **overrides) -> "DetectTrackModule":
+        """the ONE factory every entry point (train.py / evaluate.py /
+        bench.py / examples / __graft_entry__) builds the module through,
+        so config-driven knobs (e.g. FIX_PSROI_CHANNEL_MAP -> a different
+        head channel layout) cannot silently drift between CLIs."""
+        kwargs = dict(
+            backbone_arch=cfg.BACKBONE_ARCH,
+            first_trainable_stage=cfg.FIRST_TRAINABLE_STAGE,
+            remat=cfg.REMAT,
+            n_anchors=cfg.n_anchors_per_cell,
+            n_classes=cfg.N_CLASSES,
+            k=cfg.K,
+            d_max=cfg.D_MAX,
+            r_hw=cfg.K,
+            paper_channel_layout=cfg.FIX_PSROI_CHANNEL_MAP,
+            dtype=cfg.compute_dtype,
+        )
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
+    def init_variables(self, rng, cfg):
+        """canonical `init`: a 2-frame zero batch + mid-image rois touches
+        every head. Params are layout-identical for HOST_S2D inputs (the
+        s2d stem is an exact regroup of the same stem weights), so C=3
+        init covers both input layouts."""
+        h, w = cfg.INPUT_SHAPE
+        return self.init(
+            rng,
+            jnp.zeros((2, h, w, 3), jnp.float32),
+            jnp.full((2, cfg.MAX_ROIS, 4), 0.4, jnp.float32),
+        )
+
     def setup(self):
         self.backbone_mod = ResNetBackbone(
             arch=self.backbone_arch,

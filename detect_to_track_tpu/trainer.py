@@ -593,6 +593,14 @@ class DetectTrackTrainer:
         self.val_loader = BatchLoader(
             val_manager, cfg.BATCH_SIZE, cfg, seed=1, shuffle=False
         )
+        if len(self.trn_loader) == 0:
+            # fail fast: a zero-batch train loader (drop_last) would "train"
+            # nothing while still burning PATIENCE full validation epochs.
+            raise ValueError(
+                f"training manager yields 0 batches "
+                f"({len(trn_manager)} instances at BATCH_SIZE="
+                f"{cfg.BATCH_SIZE}); raise TRN_SIZE or lower BATCH_SIZE"
+            )
         if len(self.val_loader) == 0:
             # fail fast: zero val batches would make every epoch's val loss
             # 0/0 = NaN, so no checkpoint is ever written and the run
@@ -971,6 +979,8 @@ class DetectTrackTrainer:
         longer than the leak headroom still checkpoint in time; optimizer
         progress is preserved across mid-epoch restarts (n_iters/step ride
         the checkpoint), only the partial epoch's shuffle position resets."""
+        if getattr(self, "_rss_watchdog_disarmed", False):
+            return
         rss_gb = self._host_rss_gb()
         limit = self._host_rss_limit_gb()
         if rss_gb <= limit:
@@ -983,6 +993,17 @@ class DetectTrackTrainer:
         self.checkpoint(self.output_dir / "ckpt_autosave")
         if self.on_host_memory_limit is not None:
             self.on_host_memory_limit()
+        else:
+            # no handler installed (library use): RSS will not drop on its
+            # own (the leak is process-lifetime, PERF.md), so firing again
+            # at every LOG_EVERY window would degrade training to
+            # back-to-back checkpoint saves. Autosave once, warn, disarm.
+            self._rss_watchdog_disarmed = True
+            print(
+                "WARNING: no on_host_memory_limit handler installed; "
+                "watchdog disarmed after one autosave (install a handler "
+                "or restart the process to re-arm)"
+            )
 
     def run(self, max_iters: float = float("inf")) -> None:
         self._max_iters = max_iters

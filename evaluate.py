@@ -11,7 +11,6 @@ SURVEY.md §5); this closes BASELINE config 5's measurement loop.
 from argparse import ArgumentParser
 
 import jax
-import jax.numpy as jnp
 
 
 def main() -> None:
@@ -39,24 +38,8 @@ def main() -> None:
     from detect_to_track_tpu.models import DetectTrackModule
 
     cfg = load_config(args.cfg)
-    dtype = cfg.compute_dtype
-    model = DetectTrackModule(
-        backbone_arch=cfg.BACKBONE_ARCH,
-        n_anchors=cfg.n_anchors_per_cell,
-        n_classes=cfg.N_CLASSES,
-        k=cfg.K,
-        d_max=cfg.D_MAX,
-        r_hw=cfg.K,
-        paper_channel_layout=cfg.FIX_PSROI_CHANNEL_MAP,
-        dtype=dtype,
-    )
-
-    h, w = cfg.INPUT_SHAPE
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((2, h, w, 3), jnp.float32),
-        jnp.full((2, cfg.MAX_ROIS, 4), 0.4, jnp.float32),
-    )
+    model = DetectTrackModule.from_config(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0), cfg)
 
     if args.reference_weights:
         import torch
@@ -103,16 +86,13 @@ def main() -> None:
             seed=1,
         )
     else:
-        from detect_to_track_tpu.data.imagenet import setup_vid_datasets
+        # val manager only -- same deterministic snippet partition as
+        # training, WITHOUT constructing DETSampler (which parses every
+        # listed DET annotation XML just to be thrown away here).
+        from detect_to_track_tpu.data.imagenet import setup_val_manager
 
-        _, manager, _ = setup_vid_datasets(
-            cfg.DATA_ROOT,
-            cfg.VID_PARTITION_SIZES,
-            cfg.TRN_SIZE,
-            args.n_samples,
-            cfg.REP_SIZE,
-            cfg.P_DET,
-            cfg.A,
+        manager = setup_val_manager(
+            cfg.DATA_ROOT, cfg.VID_PARTITION_SIZES, args.n_samples
         )
 
     if args.all_ckpts and len(ckpt_paths) > 1:

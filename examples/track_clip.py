@@ -1,7 +1,7 @@
 """end-to-end clip tracking example: frames -> detections -> tubelets.
 
     python examples/track_clip.py -c cfg/default.yaml [--ckpt output/ckpt]
-        [--frames DIR] [--n-frames 8] [--device-linking]
+        [--frames DIR] [--n-frames 8] [--host-linking]
 
 With no --frames, a synthetic moving-rectangles clip is generated (so the
 example runs anywhere, with or without a trained checkpoint). With no
@@ -52,7 +52,6 @@ def main() -> None:
         # JAX_PLATFORMS=cpu reliably forces CPU for this example
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
-    import jax.numpy as jnp
     import numpy as np
 
     from detect_to_track_tpu.clip import ClipTracker
@@ -61,23 +60,8 @@ def main() -> None:
     from detect_to_track_tpu.models import DetectTrackModule
 
     cfg = load_config(args.cfg)
-    dtype = cfg.compute_dtype
-    model = DetectTrackModule(
-        backbone_arch=cfg.BACKBONE_ARCH,
-        n_anchors=cfg.n_anchors_per_cell,
-        n_classes=cfg.N_CLASSES,
-        k=cfg.K,
-        d_max=cfg.D_MAX,
-        r_hw=cfg.K,
-        paper_channel_layout=cfg.FIX_PSROI_CHANNEL_MAP,
-        dtype=dtype,
-    )
-    h, w = cfg.INPUT_SHAPE
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((2, h, w, 3), jnp.float32),
-        jnp.full((2, cfg.MAX_ROIS, 4), 0.4, jnp.float32),
-    )
+    model = DetectTrackModule.from_config(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0), cfg)
     if args.ckpt:
         import orbax.checkpoint as ocp
 
@@ -98,6 +82,7 @@ def main() -> None:
     else:
         # one synthetic "video": rectangles moving with constant velocity
         # (uint8 frames, like decoded JPEGs would be)
+        h, w = cfg.INPUT_SHAPE
         rng = np.random.RandomState(0)
         centers = rng.rand(3, 2) * 0.5 + 0.25
         sizes = rng.rand(3, 2) * 0.15 + 0.1

@@ -51,3 +51,23 @@ def test_detect_pairs_mixed_dtype_list_normalizes(detector, rng):
     np.testing.assert_allclose(
         np.asarray(got.boxes), np.asarray(ref.boxes), rtol=1e-4, atol=1e-5
     )
+
+
+def test_detect_clip_mixed_dtype_list_normalizes(detector, rng):
+    """detect_clip must run list inputs through the same ingestion guard as
+    detect_pairs: a list mixing uint8 and float frames previously went
+    straight to jnp.asarray, silently promoting 0-255 values into a float
+    batch that skips the device /255."""
+    det, cfg = detector
+    h, w = cfg.INPUT_SHAPE
+    f = rng.rand(3, h, w, 3).astype(np.float32)
+    u1 = np.clip(np.rint(f[1] * 255.0), 0, 255).astype(np.uint8)
+    frames_f = [f[0], u1.astype(np.float32) / 255.0, f[2]]
+    frames_m = [f[0], u1, f[2]]
+
+    ref = det.detect_clip(np.stack(frames_f))
+    got = det.detect_clip(frames_m)
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))
+    np.testing.assert_allclose(
+        np.asarray(got.boxes), np.asarray(ref.boxes), rtol=1e-4, atol=1e-5
+    )

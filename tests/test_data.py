@@ -161,6 +161,24 @@ def test_setup_vid_datasets(ilsvrc):
     assert len(mock) == 2
 
 
+def test_setup_val_manager_matches_full_setup(ilsvrc):
+    """evaluate.py's lightweight val-only constructor must draw the SAME
+    fixed val instances as setup_vid_datasets (same snippet partition, same
+    seed), just without building the expensive DET training stack."""
+    from detect_to_track_tpu.data.imagenet import setup_val_manager
+
+    _, val, _ = setup_vid_datasets(
+        ilsvrc, (0.8, 0.2), trn_size=10, val_size=3, rep_size=2, p_det=0.5,
+        a=0.8,
+    )
+    val_only = setup_val_manager(ilsvrc, (0.8, 0.2), 3)
+    assert len(val_only) == len(val)
+    for k in range(len(val)):
+        (a0, a1), (b0, b1) = val[k], val_only[k]
+        assert [l.box for l in a0.labels] == [l.box for l in b0.labels]
+        assert np.asarray(a1.im).shape == np.asarray(b1.im).shape
+
+
 def test_pack_labels_capacity():
     labels = [
         ObjectLabel(class_id=i + 1, class_name="x", box=(0.5, 0.5, 0.1, 0.1),

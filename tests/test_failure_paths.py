@@ -126,6 +126,20 @@ def test_host_rss_watchdog_triggers_checkpoint_and_restart(capsys):
     assert "HOST_RSS_LIMIT_GB" in capsys.readouterr().out
 
 
+def test_host_rss_watchdog_disarms_without_handler(capsys):
+    """library use (no on_host_memory_limit handler): RSS never drops once
+    the remote client's transfer retention trips the limit, so the watchdog
+    must autosave ONCE and disarm instead of re-checkpointing at every
+    LOG_EVERY window forever."""
+    t = _WatchdogTrainerish(limit_gb=0.001)
+    t.on_host_memory_limit = None
+    t._check_host_memory()
+    t._check_host_memory()
+    t._check_host_memory()
+    assert t.checkpoints == 1 and t.restarts == 0
+    assert "disarmed" in capsys.readouterr().out
+
+
 def test_host_rss_reads_current_not_peak():
     """the watchdog must read CURRENT RSS: ru_maxrss (lifetime peak)
     survives execve, so a restarted process would re-trip forever."""
@@ -277,6 +291,28 @@ def test_trainer_rejects_empty_val_loader():
     val = SyntheticVIDManager(n_samples=1, image_hw=cfg.INPUT_SHAPE,
                               n_classes=cfg.N_CLASSES)  # < BATCH_SIZE=2
     with pytest.raises(ValueError, match="0 batches"):
+        DetectTrackTrainer(model, variables, trn, val, None, cfg)
+
+
+def test_trainer_rejects_empty_trn_loader():
+    """a zero-batch TRAIN loader (drop_last) would silently train nothing
+    while burning PATIENCE full validation epochs; fail at construction,
+    symmetric with the val guard above."""
+    import jax
+    import jax.numpy as jnp
+
+    from detect_to_track_tpu.data.synthetic import SyntheticVIDManager
+    from detect_to_track_tpu.trainer import DetectTrackTrainer
+    from tests.test_train_step import TINY, tiny_model
+
+    cfg = TINY
+    model = tiny_model(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0), cfg)
+    trn = SyntheticVIDManager(n_samples=1, image_hw=cfg.INPUT_SHAPE,
+                              n_classes=cfg.N_CLASSES)  # < BATCH_SIZE=2
+    val = SyntheticVIDManager(n_samples=4, image_hw=cfg.INPUT_SHAPE,
+                              n_classes=cfg.N_CLASSES)
+    with pytest.raises(ValueError, match="training manager yields 0"):
         DetectTrackTrainer(model, variables, trn, val, None, cfg)
 
 

@@ -10,7 +10,6 @@ mode that needs no ILSVRC data on disk.
 from argparse import ArgumentParser
 
 import jax
-import jax.numpy as jnp
 
 
 def main() -> None:
@@ -66,19 +65,7 @@ def main() -> None:
         print(f"WARNING: WANDB_MODE set but wandb.init failed ({e}); "
               "falling back to JSONL/stdout logging")
 
-    dtype = cfg.compute_dtype
-    model = DetectTrackModule(
-        backbone_arch=cfg.BACKBONE_ARCH,
-        first_trainable_stage=cfg.FIRST_TRAINABLE_STAGE,
-        remat=cfg.REMAT,
-        n_anchors=cfg.n_anchors_per_cell,
-        n_classes=cfg.N_CLASSES,
-        k=cfg.K,
-        d_max=cfg.D_MAX,
-        r_hw=cfg.K,
-        paper_channel_layout=cfg.FIX_PSROI_CHANNEL_MAP,
-        dtype=dtype,
-    )
+    model = DetectTrackModule.from_config(cfg)
 
     if args.synthetic:
         from detect_to_track_tpu.data.synthetic import SyntheticVIDManager
@@ -108,12 +95,7 @@ def main() -> None:
             cfg.A,
         )
 
-    h, w = cfg.INPUT_SHAPE
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((2, h, w, 3), jnp.float32),
-        jnp.full((2, cfg.MAX_ROIS, 4), 0.4, jnp.float32),
-    )
+    variables = model.init_variables(jax.random.PRNGKey(0), cfg)
     if args.torch_weights:
         import torch
 
