@@ -903,6 +903,17 @@ class DetectTrackTrainer:
         # meta sidecar additionally restores early-stopping state and the
         # loader's shuffle-sequence position.
         self.n_iters = int(self.state.step) * self.cfg.BATCH_SIZE
+        # explicitly-seeded nondeterministic samplers would REPLAY the
+        # already-trained stream after an exec-restart (the rng state is
+        # rebuilt from the same seed); salt them with the restored step so
+        # the resumed run continues on fresh draws. Deterministic managers
+        # (fixed lists) and entropy-seeded samplers are unaffected. This
+        # needs only state.step, so it runs BEFORE the sidecar parse:
+        # rotating-history dirs (ckpt_step_*) are copytree'd WITHOUT a
+        # sidecar, and restoring from one must still not replay.
+        reseed = getattr(self.trn_loader.manager, "reseed", None)
+        if callable(reseed):
+            reseed(int(self.state.step))
         try:
             meta = json.loads(Path(f"{path}.meta.json").read_text())
         except (OSError, ValueError):
@@ -916,14 +927,6 @@ class DetectTrackTrainer:
             self.trn_loader.dropped_labels = int(
                 meta.get("dropped_labels", 0)
             )
-        # explicitly-seeded nondeterministic samplers would REPLAY the
-        # already-trained stream after an exec-restart (the rng state is
-        # rebuilt from the same seed); salt them with the restored step so
-        # the resumed run continues on fresh draws. Deterministic managers
-        # (fixed lists) and entropy-seeded samplers are unaffected.
-        reseed = getattr(self.trn_loader.manager, "reseed", None)
-        if callable(reseed):
-            reseed(int(self.state.step))
 
     def step(self) -> None:
         trn_loss = self.train()
@@ -955,17 +958,18 @@ class DetectTrackTrainer:
 
     @staticmethod
     def _host_rss_gb() -> float:
-        """CURRENT resident set in GB. ru_maxrss is wrong here: the
-        lifetime peak survives execve on Linux, so a restarted process
-        would re-trip the limit forever."""
+        """CURRENT resident set in GB, or 0.0 (watchdog inert) where it
+        cannot be read. ru_maxrss is NOT a usable fallback: it is the
+        lifetime PEAK (which survives execve on Linux, so a restarted
+        process would re-trip the limit forever) and its unit differs by
+        platform (KB on Linux, bytes on macOS). Better no watchdog than a
+        checkpoint/exec-restart loop."""
         try:
             page = os.sysconf("SC_PAGE_SIZE")  # 4K on x86, 16/64K on arm64
             with open("/proc/self/statm") as f:
                 return int(f.read().split()[1]) * page / 1e9
         except (OSError, IndexError, ValueError):
-            import resource
-
-            return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+            return 0.0
 
     def _check_host_memory(self) -> None:
         """failure prevention (config.HOST_RSS_LIMIT_GB): autosave and hand

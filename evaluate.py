@@ -31,6 +31,10 @@ def main() -> None:
         "(mAP-vs-step from the training run's checkpoint history)",
     )
     args = parser.parse_args()
+    if args.reference_weights and args.ckpt:
+        # ambiguous: both would populate `variables`, and whichever silently
+        # won would misattribute the resulting mAP. Make the user pick.
+        parser.error("--reference-weights and --ckpt are mutually exclusive")
 
     from detect_to_track_tpu.config import load_config
     from detect_to_track_tpu.evaluation import evaluate_detector

@@ -150,6 +150,23 @@ def test_host_rss_reads_current_not_peak():
     assert 0 < cur <= peak * 1.05
 
 
+def test_host_rss_unreadable_disables_watchdog(monkeypatch):
+    """no /proc (macOS etc.): the fallback must be 0.0 (watchdog inert),
+    NOT ru_maxrss -- peak semantics re-trip after every exec-restart and
+    the unit differs by platform (KB Linux, bytes macOS), which would turn
+    the watchdog into an infinite checkpoint/restart loop."""
+    import os
+
+    def boom(_name):
+        raise ValueError("no SC_PAGE_SIZE")
+
+    monkeypatch.setattr(os, "sysconf", boom)
+    assert _WatchdogTrainerish._host_rss_gb() == 0.0
+    t = _WatchdogTrainerish(limit_gb=0.001)
+    t._check_host_memory()
+    assert t.checkpoints == 0 and t.restarts == 0
+
+
 def test_host_rss_watchdog_disabled_and_auto():
     t = _WatchdogTrainerish(limit_gb=0)  # 0 = disabled
     t._check_host_memory()
