@@ -144,8 +144,9 @@ class Config:
     # parallelism: data-parallel mesh size (1 = single chip).
     NUM_DEVICES: int = 1
     MESH_AXES: Tuple[str, ...] = ("data",)
-    # EXPERIMENTAL: >1 calls jax.distributed.initialize() at startup so the
-    # data mesh spans hosts (DCN); untestable single-host -- see train.py.
+    # >1 calls jax.distributed.initialize() at startup so the data mesh
+    # spans hosts (DCN). The multi-process runtime is validated by
+    # tests/test_multihost.py (2 processes, gloo collectives); see train.py.
     NUM_HOSTS: int = 1
 
     # observability / checkpointing

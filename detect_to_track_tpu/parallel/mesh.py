@@ -9,7 +9,14 @@ Every collective is implied by these shardings -- growing to multi-host DP
 (or adding a model axis later) is a mesh-shape change, not a rewrite.
 
 One Python process per host is assumed (jax.distributed.initialize for
-multi-host); tests exercise an 8-device virtual CPU mesh.
+multi-host). `replicate`/`shard_batch` are process-aware: under a
+multi-process runtime they assemble global arrays from per-process local
+data (`jax.make_array_from_process_local_data`), so the same trainer code
+runs single-chip, multi-chip, and multi-host -- the mesh spans all hosts'
+devices and each process feeds only its local shard of the batch. Tests
+exercise an 8-device virtual CPU mesh in one process
+(tests/test_parallel.py) and a REAL two-process gloo-backed mesh
+(tests/test_multihost.py).
 """
 
 from __future__ import annotations
@@ -35,16 +42,52 @@ def make_mesh(
     return Mesh(np.asarray(devices[:n]).reshape(n), axis_names)
 
 
+def _from_local(tree: Any, sharding: NamedSharding) -> Any:
+    """assemble global arrays from per-process local data (multi-process).
+
+    For a replicated spec the local data IS the full value (identical on
+    every process, e.g. params initialized from the same PRNG key); for a
+    batch-sharded spec it is this process's slice of the global batch.
+    """
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        tree,
+    )
+
+
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """replicate a pytree (params / optimizer state) across the mesh."""
+    """replicate a pytree (params / optimizer state) across the mesh.
+
+    Multi-process: every process must hold the same host values (same init
+    seed / restored checkpoint); they are placed on each process's local
+    devices and stitched into one global replicated array.
+    """
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return _from_local(tree, sharding)
     return jax.device_put(tree, sharding)
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
-    """shard every leaf's leading (batch) axis across the data axis."""
+    """shard every leaf's leading (batch) axis across the data axis.
+
+    Multi-process: `batch` is this process's LOCAL batch (global_batch /
+    process_count rows, disjoint across processes); the returned global
+    array's leading axis is the concatenation over processes in process
+    order.
+    """
     sharding = NamedSharding(mesh, P(axis))
+    if jax.process_count() > 1:
+        return _from_local(batch, sharding)
     return jax.device_put(batch, sharding)
+
+
+# host value of a REPLICATED global array, multi-process safe (the
+# implementation lives in utils.host_value so the trainer can use it
+# without a circular import).
+from ..utils import host_value as local_value  # noqa: E402
 
 
 def make_parallel_train_step(

@@ -53,7 +53,12 @@ from .inference import Detector
 from .losses import DTLoss, rcnn_loss, rpn_loss, track_loss
 from .models import DetectTrackModule, resnet_trainable_mask
 from .ops.nms import batched_proposal_filter
-from .utils import image_to_input, promote_mixed_image_dtypes, split_pairs
+from .utils import (
+    host_value,
+    image_to_input,
+    promote_mixed_image_dtypes,
+    split_pairs,
+)
 
 
 class TrainState(struct.PyTreeNode):
@@ -569,10 +574,21 @@ class DetectTrackTrainer:
                 shard_batch,
             )
 
-            if cfg.BATCH_SIZE % cfg.NUM_DEVICES != 0:
+            # multi-process (multi-host): NUM_DEVICES is the GLOBAL mesh
+            # size and BATCH_SIZE is the PER-PROCESS batch -- each process
+            # loads its own (seed-salted, disjoint) batches and shard_batch
+            # assembles the global array (parallel/mesh.py). Single-process
+            # reduces to local == global.
+            local_devices = cfg.NUM_DEVICES // jax.process_count()
+            if (
+                local_devices * jax.process_count() != cfg.NUM_DEVICES
+                or local_devices < 1
+                or cfg.BATCH_SIZE % local_devices != 0
+            ):
                 raise ValueError(
-                    f"BATCH_SIZE {cfg.BATCH_SIZE} must divide over "
-                    f"NUM_DEVICES {cfg.NUM_DEVICES}"
+                    f"BATCH_SIZE {cfg.BATCH_SIZE} (per process) must divide "
+                    f"over NUM_DEVICES {cfg.NUM_DEVICES} / "
+                    f"{jax.process_count()} processes"
                 )
             self.mesh = make_mesh(cfg.NUM_DEVICES, cfg.MESH_AXES)
             self.state = replicate(self.state, self.mesh)
@@ -589,7 +605,13 @@ class DetectTrackTrainer:
             self._train_step = make_train_step(model, cfg, self.tx)
         self._eval_step = make_eval_step(model, cfg)
 
-        self.trn_loader = BatchLoader(trn_manager, cfg.BATCH_SIZE, cfg, seed=0)
+        # multi-process: salt the training stream per process so data-
+        # parallel hosts draw disjoint batches (validation stays identical
+        # everywhere -- its loss is averaged, and the eval step is executed
+        # collectively on the shared global batch).
+        self.trn_loader = BatchLoader(
+            trn_manager, cfg.BATCH_SIZE, cfg, seed=0 + jax.process_index()
+        )
         self.val_loader = BatchLoader(
             val_manager, cfg.BATCH_SIZE, cfg, seed=1, shuffle=False
         )
@@ -630,7 +652,18 @@ class DetectTrackTrainer:
     # -- logging (wandb if available, else JSONL + stdout; the reference is
     # wandb-only, trainer.py:340-346) --
 
+    # host reads of step outputs / state go through utils.host_value
+    # (multi-process safe; == jax.device_get single-process). Instance
+    # helpers would break the duck-typed test doubles, so these are free
+    # functions used as methods.
+    _host = staticmethod(host_value)
+
+    def _step_int(self) -> int:
+        return int(host_value(self.state.step))
+
     def _default_logger(self, metrics: Dict) -> None:
+        if jax.process_index() != 0:
+            return  # one metrics stream per run, not per host
         try:
             import wandb
 
@@ -676,7 +709,7 @@ class DetectTrackTrainer:
                 # metric accumulation; it never holds a stale reference to
                 # donated buffers.
                 self.state, dtl = self._train_step(self.state, batch)
-                dtl = jax.device_get(dtl)
+                dtl = self._host(dtl)
                 skipped = (
                     not self._check_finite(dtl)
                     and self.cfg.NAN_POLICY == "skip"
@@ -749,7 +782,7 @@ class DetectTrackTrainer:
             nxt = next(it, None)
             nxt_dev = self._upload_batch(nxt) if nxt is not None else None
             dtl = self._eval_step(self.state.params, pending)
-            val_loss = val_loss + jax.device_get(dtl)
+            val_loss = val_loss + self._host(dtl)
             pending = nxt_dev
         return val_loss
 
@@ -767,12 +800,21 @@ class DetectTrackTrainer:
         # ONE Detector across epochs, params swapped per report: a fresh
         # Detector would create fresh jax.jit wrappers and recompile the
         # whole inference graph every epoch (same fix as evaluate.py).
+        params = self.state.params
+        if getattr(self, "mesh", None) is not None and jax.process_count() > 1:
+            # multi-host: only process 0 reports. It must NOT feed global
+            # (collectively-executed) arrays into the Detector's jits --
+            # the other processes are not running them, which would
+            # deadlock the collective -- so it runs on a host-local copy.
+            if jax.process_index() != 0:
+                return {}
+            params = self._host(params)
         if getattr(self, "_report_detector", None) is None:
             self._report_detector = Detector(
-                self.model, {"params": self.state.params}, self.cfg
+                self.model, {"params": params}, self.cfg
             )
         else:
-            self._report_detector.variables = {"params": self.state.params}
+            self._report_detector.variables = {"params": params}
         detector = self._report_detector
         rep_dir = self.output_dir / "report"
         rep_dir.mkdir(exist_ok=True)
@@ -815,7 +857,7 @@ class DetectTrackTrainer:
             }
 
         metrics = {**avg(trn_loss, "trn"), **avg(val_loss, "val")}
-        metrics["step"] = int(self.state.step)
+        metrics["step"] = self._step_int()
         metrics["dropped_labels"] = self.trn_loader.dropped_labels
 
         images = self._report_images()
@@ -836,21 +878,34 @@ class DetectTrackTrainer:
         """save params + optimizer state + step (the reference saves only
         model weights, trainer.py:358). The default path keeps a rotating
         step-tagged history of the last cfg.CHECKPOINT_KEEP saves next to
-        the latest-best `ckpt` dir."""
+        the latest-best `ckpt` dir.
+
+        Multi-host: orbax's save/restore are COLLECTIVE (they sync all
+        processes), so every process calls them, passing the GLOBAL arrays;
+        orbax writes each array once (replicated -> the primary process).
+        OUTPUT_DIR must be shared storage. Only the pure-file side effects
+        (meta sidecar, rotating history) are gated to process 0."""
         import orbax.checkpoint as ocp
 
+        multiproc = getattr(self, "mesh", None) is not None and jax.process_count() > 1
         default = path is None
         path = Path(path or self.output_dir / "ckpt").absolute()
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, jax.device_get(self.state), force=True)
+        ckptr.save(
+            path,
+            self.state if multiproc else jax.device_get(self.state),
+            force=True,
+        )
         ckptr.wait_until_finished()
+        if multiproc and jax.process_index() != 0:
+            return
         # sidecar: host-side training-loop state the params pytree can't
         # carry -- lets an exec-restart (or any resume) continue early
         # stopping, progress accounting, and the shuffle SEQUENCE.
         Path(f"{path}.meta.json").write_text(
             json.dumps(
                 {
-                    "step": int(self.state.step),
+                    "step": self._step_int(),
                     "n_iters": self.n_iters,
                     "best_val_loss": self.best_val_loss,
                     "iters_no_improvement": self.iters_no_improvement,
@@ -863,7 +918,7 @@ class DetectTrackTrainer:
         )
 
         if default and self.cfg.CHECKPOINT_KEEP > 0:
-            hist = path.parent / f"ckpt_step_{int(self.state.step):08d}"
+            hist = path.parent / f"ckpt_step_{self._step_int():08d}"
             if not hist.exists():
                 shutil.copytree(path, hist)
             old = sorted(path.parent.glob("ckpt_step_*"))
@@ -896,13 +951,22 @@ class DetectTrackTrainer:
             path = self._pick_restore_path()
         path = Path(path).absolute()
         ckptr = ocp.StandardCheckpointer()
-        self.state = ckptr.restore(path, self.state)
+        if getattr(self, "mesh", None) is not None and jax.process_count() > 1:
+            # multi-host: every process restores the (shared-storage)
+            # checkpoint to host values, then re-replicates over the global
+            # mesh -- same path as the initial replication.
+            from .parallel import replicate
+
+            restored = ckptr.restore(path, self._host(self.state))
+            self.state = replicate(restored, self.mesh)
+        else:
+            self.state = ckptr.restore(path, self.state)
         # rewind progress accounting to the restored step so a resumed
         # run's --max-iters means "total instances", not "more instances"
         # (essential for the RSS-watchdog exec-restart to terminate); the
         # meta sidecar additionally restores early-stopping state and the
         # loader's shuffle-sequence position.
-        self.n_iters = int(self.state.step) * self.cfg.BATCH_SIZE
+        self.n_iters = self._step_int() * self.cfg.BATCH_SIZE
         # explicitly-seeded nondeterministic samplers would REPLAY the
         # already-trained stream after an exec-restart (the rng state is
         # rebuilt from the same seed); salt them with the restored step so
@@ -913,7 +977,7 @@ class DetectTrackTrainer:
         # sidecar, and restoring from one must still not replay.
         reseed = getattr(self.trn_loader.manager, "reseed", None)
         if callable(reseed):
-            reseed(int(self.state.step))
+            reseed(self._step_int())
         try:
             meta = json.loads(Path(f"{path}.meta.json").read_text())
         except (OSError, ValueError):
@@ -985,6 +1049,19 @@ class DetectTrackTrainer:
         the checkpoint), only the partial epoch's shuffle position resets."""
         if getattr(self, "_rss_watchdog_disarmed", False):
             return
+        if jax.process_count() > 1:
+            # the autosave checkpoint is a COLLECTIVE (orbax syncs all
+            # processes) but RSS crosses the bound at different times on
+            # different hosts -- one process checkpointing alone would
+            # deadlock the job. Multi-host leak recovery needs an
+            # orchestrator-level restart policy instead; disarm with a
+            # warning once.
+            self._rss_watchdog_disarmed = True
+            print(
+                "WARNING: HOST_RSS_LIMIT_GB watchdog is single-process "
+                "only; disarmed under the multi-process runtime"
+            )
+            return
         rss_gb = self._host_rss_gb()
         limit = self._host_rss_limit_gb()
         if rss_gb <= limit:
@@ -992,7 +1069,7 @@ class DetectTrackTrainer:
         print(
             f"WARNING: host RSS {rss_gb:.1f} GB exceeds "
             f"HOST_RSS_LIMIT_GB={limit:.1f}; autosaving at step "
-            f"{int(self.state.step)}"
+            f"{int(host_value(self.state.step))}"
         )
         self.checkpoint(self.output_dir / "ckpt_autosave")
         if self.on_host_memory_limit is not None:

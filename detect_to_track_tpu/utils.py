@@ -109,3 +109,23 @@ def depth_to_space2(z):
     x = np.asarray(z).reshape(*lead, h2, w2, 2, 2, 3)
     x = np.moveaxis(x, -3, -4)  # (..., h2, 2, w2, 2, 3)
     return np.ascontiguousarray(x).reshape(*lead, h2 * 2, w2 * 2, 3)
+
+
+def host_value(x):
+    """host (numpy) value of a pytree of arrays, multi-process safe.
+
+    `jax.device_get` requires fully-addressable arrays; under a multi-host
+    runtime a REPLICATED global array is not (other hosts' devices are
+    remote) but every local shard already holds the full value, so it is
+    read instead. Single-process (and plain host values) this is exactly
+    `jax.device_get`. Used by the trainer's metric/checkpoint reads and
+    re-exported as `parallel.local_value`.
+    """
+    import jax  # lazy: keep this module importable host-side without jax
+
+    def leaf(a):
+        if isinstance(a, jax.Array) and not a.is_fully_addressable:
+            return np.asarray(a.addressable_data(0))
+        return jax.device_get(a)
+
+    return jax.tree_util.tree_map(leaf, x)

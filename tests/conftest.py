@@ -44,6 +44,7 @@ def pytest_collection_modifyitems(config, items):
         "test_evaluation.py",
         "test_diagnostics.py",
         "test_examples.py",
+        "test_multihost.py",
     }
     for item in items:
         if item.fspath.basename in slow_files:

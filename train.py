@@ -40,13 +40,16 @@ def main() -> None:
     cfg = load_config(args.cfg)
 
     if cfg.NUM_HOSTS > 1:
-        # EXPERIMENTAL multi-host data parallelism: initialize the JAX
-        # distributed runtime (coordinator address etc. from the standard
+        # multi-host data parallelism: initialize the JAX distributed
+        # runtime (coordinator address etc. from the standard
         # JAX_COORDINATOR_ADDRESS/JAX_PROCESS_ID env vars) BEFORE touching
         # devices; the data mesh then spans all hosts' chips and the
-        # gradient all-reduce rides ICI within a host, DCN across. This
-        # path cannot be exercised in a single-host environment -- it is
-        # wired per SURVEY §5 but unvalidated.
+        # gradient all-reduce rides ICI within a host, DCN across.
+        # parallel/mesh.py's replicate/shard_batch are process-aware;
+        # tests/test_multihost.py validates the multi-process runtime
+        # (2 processes, gloo) against the single-process mesh. No
+        # multi-host TPU hardware was available, so the ICI/DCN transport
+        # itself is exercised only via gloo-over-TCP.
         jax.distributed.initialize()
 
     try:  # config-logged wandb run when wandb is importable + configured.
