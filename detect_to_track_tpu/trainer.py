@@ -610,7 +610,9 @@ class DetectTrackTrainer:
         # everywhere -- its loss is averaged, and the eval step is executed
         # collectively on the shared global batch).
         self.trn_loader = BatchLoader(
-            trn_manager, cfg.BATCH_SIZE, cfg, seed=0 + jax.process_index()
+            trn_manager, cfg.BATCH_SIZE, cfg,
+            seed=1000003 * jax.process_index(),  # stride keeps every
+            # process's train stream clear of the val loader's seed=1
         )
         self.val_loader = BatchLoader(
             val_manager, cfg.BATCH_SIZE, cfg, seed=1, shuffle=False
