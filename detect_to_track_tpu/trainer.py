@@ -564,6 +564,18 @@ class DetectTrackTrainer:
             step=jnp.zeros((), jnp.int32),
         )
         self.mesh = None
+        if jax.process_count() > 1 and cfg.NUM_DEVICES != jax.device_count():
+            # fail at construction, not with an obscure non-addressable-
+            # device error in the first step (or, worse, NUM_DEVICES=1
+            # silently training nprocs independent divergent models while
+            # racing non-collective checkpoints into the shared
+            # OUTPUT_DIR): under a multi-process runtime the mesh must span
+            # every process's devices.
+            raise ValueError(
+                f"multi-process runtime ({jax.process_count()} processes, "
+                f"{jax.device_count()} global devices) requires "
+                f"NUM_DEVICES == {jax.device_count()}, got {cfg.NUM_DEVICES}"
+            )
         if cfg.NUM_DEVICES > 1:
             # data-parallel mesh: params replicated, batch sharded; the
             # gradient mean all-reduces over ICI (parallel/mesh.py).
@@ -605,15 +617,27 @@ class DetectTrackTrainer:
             self._train_step = make_train_step(model, cfg, self.tx)
         self._eval_step = make_eval_step(model, cfg)
 
-        # multi-process: salt the training stream per process so data-
-        # parallel hosts draw disjoint batches (validation stays identical
-        # everywhere -- its loss is averaged, and the eval step is executed
-        # collectively on the shared global batch).
+        # multi-process: decorrelate the training stream per process. Two
+        # mechanisms, matching the two manager kinds: the loader's shuffle
+        # seed (index-deterministic managers -- each process visits the
+        # shared set in a different order) and a sampler reseed below
+        # (sampler-backed managers ignore the loader's indices; an
+        # EXPLICITLY-seeded sampler would otherwise draw bit-identical
+        # batches on every process, silently collapsing the global batch
+        # to nprocs duplicates). Entropy-seeded samplers are already
+        # process-distinct. Validation stays identical everywhere -- its
+        # loss is averaged, and the eval step executes collectively on the
+        # shared val set (nprocs-redundant by design: val loss stays
+        # comparable across world sizes).
         self.trn_loader = BatchLoader(
             trn_manager, cfg.BATCH_SIZE, cfg,
             seed=1000003 * jax.process_index(),  # stride keeps every
-            # process's train stream clear of the val loader's seed=1
+            # process's shuffle clear of the val loader's seed=1
         )
+        if jax.process_count() > 1:
+            reseed = getattr(trn_manager, "reseed", None)
+            if callable(reseed):
+                reseed(self._proc_salt(0))
         self.val_loader = BatchLoader(
             val_manager, cfg.BATCH_SIZE, cfg, seed=1, shuffle=False
         )
@@ -662,6 +686,14 @@ class DetectTrackTrainer:
 
     def _step_int(self) -> int:
         return int(host_value(self.state.step))
+
+    @staticmethod
+    def _proc_salt(step: int) -> int:
+        """process-distinct sampler salt: == step single-process (keeps
+        existing resume streams), distinct per (process, step) under
+        multi-host so explicitly-seeded samplers never replay each other's
+        draws."""
+        return step * jax.process_count() + jax.process_index()
 
     def _default_logger(self, metrics: Dict) -> None:
         if jax.process_index() != 0:
@@ -979,7 +1011,7 @@ class DetectTrackTrainer:
         # sidecar, and restoring from one must still not replay.
         reseed = getattr(self.trn_loader.manager, "reseed", None)
         if callable(reseed):
-            reseed(self._step_int())
+            reseed(self._proc_salt(self._step_int()))
         try:
             meta = json.loads(Path(f"{path}.meta.json").read_text())
         except (OSError, ValueError):
@@ -1051,6 +1083,10 @@ class DetectTrackTrainer:
         the checkpoint), only the partial epoch's shuffle position resets."""
         if getattr(self, "_rss_watchdog_disarmed", False):
             return
+        rss_gb = self._host_rss_gb()
+        limit = self._host_rss_limit_gb()
+        if limit == float("inf"):
+            return  # disabled -- stay silent, even multi-process
         if jax.process_count() > 1:
             # the autosave checkpoint is a COLLECTIVE (orbax syncs all
             # processes) but RSS crosses the bound at different times on
@@ -1064,13 +1100,13 @@ class DetectTrackTrainer:
                 "only; disarmed under the multi-process runtime"
             )
             return
-        rss_gb = self._host_rss_gb()
-        limit = self._host_rss_limit_gb()
         if rss_gb <= limit:
             return
         print(
             f"WARNING: host RSS {rss_gb:.1f} GB exceeds "
             f"HOST_RSS_LIMIT_GB={limit:.1f}; autosaving at step "
+            # inline (not self._step_int): duck-typed watchdog test doubles
+            # borrow this method without the helper.
             f"{int(host_value(self.state.step))}"
         )
         self.checkpoint(self.output_dir / "ckpt_autosave")

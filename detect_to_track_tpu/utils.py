@@ -125,6 +125,15 @@ def host_value(x):
 
     def leaf(a):
         if isinstance(a, jax.Array) and not a.is_fully_addressable:
+            if not a.sharding.is_fully_replicated:
+                # a local shard of a batch-SHARDED global array is not the
+                # value; returning it would be silent data loss.
+                raise ValueError(
+                    "host_value needs a replicated (or fully addressable) "
+                    f"array; got sharding {a.sharding} -- gather sharded "
+                    "results with jax.experimental.multihost_utils."
+                    "process_allgather instead"
+                )
             return np.asarray(a.addressable_data(0))
         return jax.device_get(a)
 

@@ -37,21 +37,34 @@ def _free_port() -> int:
 
 
 def _spawn(nprocs, tmp_path, mode):
+    # workers log to FILES (a PIPE could fill and deadlock the collective:
+    # reading proc 0 first blocks while proc 1's buffer backs up), and a
+    # try/finally kill so a hung worker -- the failure mode this test
+    # exists to catch -- can't outlive the test run. _free_port is
+    # best-effort (the port is re-bound by the coordinator moments later);
+    # a lost race fails loudly, not silently.
     port = _free_port()
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(WORKER), str(i), str(nprocs), str(port),
-             str(tmp_path), mode],
-            cwd=REPO,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-        )
-        for i in range(nprocs)
-    ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    logs = [tmp_path / f"proc{i}.log" for i in range(nprocs)]
+    procs = []
+    try:
+        for i in range(nprocs):
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, str(WORKER), str(i), str(nprocs),
+                     str(port), str(tmp_path), mode],
+                    cwd=REPO,
+                    stdout=open(logs[i], "w"),
+                    stderr=subprocess.STDOUT,
+                )
+            )
+        for p in procs:
+            p.wait(timeout=600)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log.read_text()[-4000:]}"
     return [np.load(tmp_path / f"proc{i}.npz") for i in range(nprocs)]
 
 

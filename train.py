@@ -58,7 +58,13 @@ def main() -> None:
         # requires wandb unconditionally, reference train.py:25).
         import os
 
-        if os.environ.get("WANDB_MODE", "disabled") != "disabled":
+        # multi-host: one wandb run per JOB, not per host (the trainer's
+        # logger already routes metrics through process 0 only; N-1 forever-
+        # empty runs would just clutter the dashboard).
+        if (
+            os.environ.get("WANDB_MODE", "disabled") != "disabled"
+            and jax.process_index() == 0
+        ):
             import wandb
 
             wandb.init(config=cfg.__dict__)
