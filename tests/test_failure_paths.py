@@ -356,3 +356,34 @@ def test_prefetch_stops_producer_on_early_close():
     time.sleep(0.6)
     assert len(produced) == n  # producer no longer draining the source
     assert n < 1000
+
+
+def test_trainer_rejects_partial_mesh_under_multiprocess(monkeypatch):
+    """under a multi-process runtime the mesh must span every process's
+    devices: NUM_DEVICES=1 would silently train nprocs independent models
+    (racing non-collective checkpoints into the shared OUTPUT_DIR), and a
+    per-host NUM_DEVICES would fail obscurely inside the first sharded
+    step. Both must fail at construction instead."""
+    import jax
+    import jax.numpy as jnp
+
+    from detect_to_track_tpu.data.synthetic import SyntheticVIDManager
+    from detect_to_track_tpu.trainer import DetectTrackTrainer
+    from tests.test_train_step import TINY, tiny_model
+
+    cfg = TINY
+    model = tiny_model(cfg)
+    h, w = cfg.INPUT_SHAPE
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, h, w, 3), jnp.float32),
+        jnp.full((2, cfg.MAX_ROIS, 4), 0.4, jnp.float32),
+    )
+    mgr = SyntheticVIDManager(n_samples=4, image_hw=cfg.INPUT_SHAPE,
+                              n_classes=cfg.N_CLASSES)
+
+    import detect_to_track_tpu.trainer as trainer_mod
+
+    monkeypatch.setattr(trainer_mod.jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="NUM_DEVICES"):
+        DetectTrackTrainer(model, variables, mgr, mgr, None, cfg)
