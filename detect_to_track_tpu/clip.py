@@ -97,16 +97,29 @@ class ClipTracker:
         return self._chunk_scores_fn
 
     def _link_device(
-        self, seq_slots, init, bbox_host, valid_host
+        self, seq_slots, init, bbox_host
     ) -> List[Tuple[Tuple[int, int], np.ndarray]]:
         import jax
         import jax.numpy as jnp
 
         from .viterbi_device import viterbi_multi_link_scan
 
-        # NOTE: one jit cache entry per (clip length, D) -- long variable-
-        # length clips should be padded/chunked by the caller.
+        # bucket the transition count to the next power of two with all
+        # -inf matrices: trailing padded timesteps extract nothing (the DP's
+        # inner while guard sees no finite incoming entry, and the scan's
+        # prefix rows are truncation-exact -- pinned by
+        # test_viterbi_device.py), so results match the unpadded call while
+        # the jit cache holds O(log n) entries per D instead of one per
+        # distinct clip length.
         seq = jnp.stack(seq_slots)  # (n-1, D, D), still on device
+        m = seq.shape[0]
+        t1 = max(4, 1 << (m - 1).bit_length())
+        if t1 > m:
+            from .viterbi_device import NEG_INF
+
+            seq = jnp.concatenate(
+                [seq, jnp.full((t1 - m,) + seq.shape[1:], NEG_INF, seq.dtype)]
+            )
         out = jax.device_get(viterbi_multi_link_scan(seq, init))
 
         tubelets = []
@@ -165,6 +178,7 @@ class ClipTracker:
         bbox_seq: List[np.ndarray] = [None] * n
         track_seq: List[np.ndarray] = [None] * (n - 1)
         seq_slots = [None] * (n - 1)  # device (D, D) link-score matrices
+        chunk_boxes = []  # (chunk start, device (F, D, 4)) per chunk
         init_scores = None
 
         # overlapping chunks: each covers frames [s, s+chunk); consecutive
@@ -206,10 +220,11 @@ class ClipTracker:
                     t = s + fi
                     if seq_slots[t] is None:
                         seq_slots[t] = seq[fi]
-                boxes = np.asarray(out.boxes)  # host copy for tubelet boxes
-                for fi in range(chunk):
-                    if bbox_seq[s + fi] is None:
-                        bbox_seq[s + fi] = boxes[fi]
+                # boxes stay ON DEVICE until after the loop: a per-chunk
+                # np.asarray would block on this chunk's compute before the
+                # next chunk even dispatches, stalling the pipeline the
+                # double-buffered uploads exist to keep full.
+                chunk_boxes.append((s, out.boxes))
                 continue
 
             confs = np.asarray(out.confs)  # (F, D, C+1)
@@ -231,7 +246,14 @@ class ClipTracker:
                     ).reshape(-1, 4)
 
         if self.device_linking:
-            return self._link_device(seq_slots, init_scores, bbox_seq, None)
+            # one blocking download for all chunks' boxes (they are tiny:
+            # F x D x 4), after every chunk has been dispatched.
+            got = jax.device_get([b for _, b in chunk_boxes])
+            for (cs, _), boxes in zip(chunk_boxes, got):
+                for fi in range(chunk):
+                    if bbox_seq[cs + fi] is None:
+                        bbox_seq[cs + fi] = boxes[fi]
+            return self._link_device(seq_slots, init_scores, bbox_seq)
 
         return viterbi_tracking(
             conf_seq, bbox_seq, track_seq, self.link_iou_thresh, self.min_len

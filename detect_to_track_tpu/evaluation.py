@@ -99,27 +99,56 @@ def detection_map(
 
 
 def evaluate_detector(
-    detector, manager, n_classes: int, iou_thresh: float = 0.5
+    detector, manager, n_classes: int, iou_thresh: float = 0.5,
+    batch_pairs: int = 8,
 ) -> Dict[str, float]:
     """run a Detector over a DataManager of frame pairs and compute mAP on
-    every frame (both frames of each pair are evaluated)."""
+    every frame (both frames of each pair are evaluated).
+
+    Pairs fold into batched device dispatches (`batch_pairs` per call via
+    Detector.detect_pairs, the tail batch padded by repetition and its
+    padding discarded): identical detections to per-pair `__call__`
+    (batched == single is pinned by tests/test_batched_inference.py) with
+    ~batch_pairs x fewer round-trips -- per-dispatch latency dominates
+    eval wall-clock through a remote device link."""
+    from .utils import promote_mixed_image_dtypes
+
     det_confs: List[np.ndarray] = []
     det_boxes: List[np.ndarray] = []
     gt_classes: List[np.ndarray] = []
     gt_boxes: List[np.ndarray] = []
 
-    for n in range(len(manager)):
-        i0, i1 = manager[n]
-        confs0, confs1, boxes0, boxes1, _ = detector(i0.im, i1.im)
-        for inst, confs, boxes in ((i0, confs0, boxes0), (i1, confs1, boxes1)):
-            det_confs.append(confs)
-            det_boxes.append(boxes)
-            gt_classes.append(
-                np.array([l.class_id for l in inst.labels], np.int32)
+    def gt(inst):
+        gt_classes.append(
+            np.array([l.class_id for l in inst.labels], np.int32)
+        )
+        gt_boxes.append(
+            np.array([l.box for l in inst.labels], np.float32).reshape(-1, 4)
+        )
+
+    p = max(1, min(batch_pairs, len(manager)))
+    for start in range(0, len(manager), p):
+        block = [manager[n] for n in range(start, min(start + p, len(manager)))]
+        real = len(block)
+        block = block + [block[-1]] * (p - real)  # pad: ONE jit entry per P
+        pairs = [
+            np.stack(
+                promote_mixed_image_dtypes(
+                    [detector._to_array(i0.im), detector._to_array(i1.im)]
+                )
             )
-            gt_boxes.append(
-                np.array([l.box for l in inst.labels], np.float32).reshape(-1, 4)
-            )
+            for i0, i1 in block
+        ]
+        out = detector.detect_pairs(pairs)
+        confs = np.asarray(out.confs)
+        boxes = np.asarray(out.boxes)
+        valid = np.asarray(out.valid)
+        for j in range(real):
+            for f, inst in enumerate(block[j]):
+                v = valid[j, f]
+                det_confs.append(confs[j, f][v])
+                det_boxes.append(boxes[j, f][v])
+                gt(inst)
     return detection_map(
         det_confs, det_boxes, gt_classes, gt_boxes, n_classes, iou_thresh
     )

@@ -69,11 +69,12 @@ def load_detector(path: str):
 
     def call(images):
         images = jnp.asarray(images)
-        if images.dtype == jnp.uint8:
+        if jnp.issubdtype(images.dtype, jnp.integer):
             # the artifact was traced for float32 [0,1] inputs; the live
             # Detector's on-device uint8-normalize branch does NOT exist in
             # it, so a bare float cast would feed 0-255 values into a [0,1]
-            # graph with no error.
+            # graph with no error. ANY integer dtype (uint8 frames, int32
+            # decoded video) means 0-255 values.
             images = images.astype(jnp.float32) / 255.0
         return exported.call(images.astype(jnp.float32))
 

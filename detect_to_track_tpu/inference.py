@@ -234,13 +234,19 @@ class Detector:
 
     def _maybe_s2d(self, x):
         """HOST_S2D: space-to-depth on the HOST before upload (same bytes,
-        no device transpose; Config.HOST_S2D). Device arrays and already-
-        transformed (C=12) inputs pass through."""
-        if (
-            getattr(self.cfg, "HOST_S2D", False)
-            and isinstance(x, np.ndarray)
-            and x.shape[-1] == 3
-        ):
+        no device transpose; Config.HOST_S2D). Already-transformed (C=12)
+        inputs pass through; a 3-channel DEVICE array cannot be transformed
+        here (the host never sees its bytes) and would otherwise crash deep
+        in the 12-channel stem -- reject it at the guard."""
+        if not getattr(self.cfg, "HOST_S2D", False):
+            return x
+        if x.shape[-1] == 3:
+            if not isinstance(x, np.ndarray):
+                raise ValueError(
+                    "HOST_S2D is enabled but a 3-channel DEVICE array was "
+                    "passed; provide host frames (numpy) or pre-apply "
+                    "utils.space_to_depth2 before upload"
+                )
             from .utils import space_to_depth2
 
             return space_to_depth2(x)

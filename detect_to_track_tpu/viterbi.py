@@ -102,6 +102,15 @@ def viterbi(
 
     parents: List[np.ndarray] = []
     for trans in score_seq:  # (|S|, |D|)
+        if trans.shape[0] == 0:
+            # an empty frame mid-sequence (every detection filtered out):
+            # no sources exist, so every destination starts a fresh path --
+            # exactly what the fresh-path rule yields when no incoming
+            # candidate is strictly positive (np.argmax over the empty
+            # source axis would raise instead).
+            parents.append(np.full(trans.shape[1], -1, dtype=np.int64))
+            scores = np.zeros(trans.shape[1])
+            continue
         cand = scores[:, None] + trans  # (|S|, |D|)
         best_src = np.argmax(cand, axis=0)  # first max, like the reference
         best_val = cand[best_src, np.arange(cand.shape[1])]

@@ -64,7 +64,8 @@ def main() -> None:
         main_path = Path(args.ckpt).absolute()
         if args.all_ckpts:
             ckpt_paths = sorted(main_path.parent.glob("ckpt_step_*"))
-        ckpt_paths.append(main_path)
+        if main_path not in ckpt_paths:  # --ckpt may BE a rotating entry
+            ckpt_paths.append(main_path)
 
     def load_ckpt(path):
         import orbax.checkpoint as ocp

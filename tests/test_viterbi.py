@@ -154,3 +154,44 @@ def test_viterbi_tracking_end_to_end(rng):
     for (start, end), boxes in tubelets:
         assert (start, end) == (0, T - 1)
         assert boxes.shape == (T, 4)
+
+
+def test_viterbi_tracking_with_empty_interior_frame():
+    """a frame whose detections were ALL confidence-filtered produces
+    zero-size score matrices mid-sequence; the numpy DP must start fresh
+    paths after it (np.argmax over the empty source axis used to raise)
+    and must agree exactly with the native path."""
+    conf_seq = [
+        np.array([0.9, 0.8]),
+        np.array([], np.float64),  # empty interior frame
+        np.array([0.7, 0.6]),
+        np.array([0.5]),
+    ]
+    bbox_seq = [
+        np.array([[0.3, 0.3, 0.2, 0.2], [0.7, 0.7, 0.2, 0.2]]),
+        np.zeros((0, 4)),
+        np.array([[0.3, 0.3, 0.2, 0.2], [0.7, 0.7, 0.2, 0.2]]),
+        np.array([[0.3, 0.3, 0.2, 0.2]]),
+    ]
+    track_seq = [
+        bbox_seq[0],
+        np.zeros((0, 4)),
+        bbox_seq[2],
+    ]
+    from detect_to_track_tpu.viterbi import compute_score_seq
+
+    score_seq = compute_score_seq(conf_seq, bbox_seq, track_seq, 0.5)
+    init = [float(c) for c in conf_seq[0]]
+    a = viterbi_multi_link(
+        [m.copy() for m in score_seq], list(init), use_native=False
+    )
+    b = viterbi_multi_link(
+        [m.copy() for m in score_seq], list(init), use_native=True
+    )
+    assert sorted(a) == sorted(b)
+    # tubelets exist on both sides of the gap, none crossing it
+    tubes = viterbi_tracking(conf_seq, bbox_seq, track_seq, 0.5, 1,
+                             use_native=False)
+    spans = sorted(s for s, _ in tubes)
+    assert all(not (s <= 1 <= e) for s, e in spans)
+    assert any(e >= 2 for _, e in spans) and any(s == 0 for s, _ in spans)

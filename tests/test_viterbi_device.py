@@ -212,3 +212,36 @@ def test_exact_zero_transition_terminates_and_agrees():
         assert got == expected
     finally:
         signal.alarm(0)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_multi_link_scan_time_padding_is_noop(seed):
+    """trailing all--inf transition matrices (ClipTracker's power-of-two
+    time bucketing) must not change the extracted paths: padded final
+    timesteps have no finite incoming entry (the inner while guard skips
+    them) and the scan's prefix rows are truncation-exact."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(seed + 130)
+    score_seq, init, dims = _random_problem(rng, T=5)
+    d = 6
+    seq, ini = _pad_problem(score_seq, init, dims, d)
+
+    base = jax_get(viterbi_multi_link_scan(seq, ini))
+    padded_seq = jnp.concatenate(
+        [jnp.asarray(seq),
+         jnp.full((3,) + tuple(seq.shape[1:]), -jnp.inf, seq.dtype)]
+    )
+    padded = jax_get(viterbi_multi_link_scan(padded_seq, ini))
+
+    n = int(base.n_paths)
+    assert int(padded.n_paths) == n
+    for i in range(n):
+        np.testing.assert_array_equal(base.spans[i], padded.spans[i])
+        np.testing.assert_allclose(
+            base.scores[i], padded.scores[i], rtol=1e-6
+        )
+        s, e = int(base.spans[i, 0]), int(base.spans[i, 1])
+        np.testing.assert_array_equal(
+            base.nodes[i, s : e + 1], padded.nodes[i, s : e + 1]
+        )
