@@ -184,6 +184,12 @@ class Config:
                 f"NAN_POLICY must be 'warn', 'raise' or 'skip', got "
                 f"{self.NAN_POLICY!r}"
             )
+        if not self.A > 0:
+            raise ValueError(
+                f"A (discrete-Laplacian stride shape) must be > 0, got "
+                f"{self.A}: a=0 overflows the inverse-CDF draw mid-training "
+                f"and a<0 is not a distribution"
+            )
 
     @property
     def compute_dtype(self):

@@ -193,6 +193,7 @@ class DETSampler(DataSampler):
         self._seed = seed
         self.rng = random.Random(seed)
         self._translator = ClassTranslator(data_root, "VID")
+        # (reseed below: same contract as VIDSampler.reseed)
         allowed_ids: Set[str] = set(self._translator.id_to_int)
         allowed_ints = set(self._translator.id_to_int.values())
 
@@ -209,10 +210,18 @@ class DETSampler(DataSampler):
         # class MIX of DET augmentation just mirrors the reference's.
         lists = [("train", f"train_{i}") for i in sorted(allowed_ints)]
         lists.append(("val", "val"))
+        # QUIRK (reference-faithful, imagenet.py:183-188): an image listed
+        # in several list files is appended once PER OCCURRENCE to every
+        # one of its class buckets, double-weighting it in the class-first
+        # sampling -- preserved exactly; only the redundant XML re-parse is
+        # cached away (DET init already costs minutes of XML IO).
+        parsed: Dict[Tuple[str, str], frozenset] = {}
+        n_lists = 0
         for mode, name in lists:
             list_path = Path(data_root, "ImageSets", "DET", f"{name}.txt")
             if not list_path.exists():
                 continue
+            n_lists += 1
             with open(list_path) as f:
                 for line in f:
                     instance_id = line.split()[0]
@@ -220,14 +229,33 @@ class DETSampler(DataSampler):
                         continue
                     labelpath = Path(label_root, mode, f"{instance_id}.xml")
                     impath = Path(frame_root, mode, f"{instance_id}.JPEG")
-                    class_ids = {
-                        p.class_id for p in parse_pascal_xmlfile(labelpath)
-                    }
+                    key = (mode, instance_id)
+                    if key not in parsed:
+                        parsed[key] = frozenset(
+                            p.class_id for p in parse_pascal_xmlfile(labelpath)
+                        )
+                    class_ids = parsed[key]
                     if class_ids and class_ids.issubset(allowed_ids):
                         ri = RawImageInstance(impath=impath, labelpath=labelpath)
                         for cid in class_ids:
                             self._by_class[cid].append(ri)
         self._classes = sorted(self._by_class)
+        if not self._classes:
+            # fail at construction (the reference fails here too -- its
+            # open() raises on a missing list); deferring would crash with
+            # a bare IndexError at the first DET draw MID-TRAINING on a
+            # VID-only tree (the DET portion is a separate download).
+            raise FileNotFoundError(
+                f"no usable DET lists under {Path(data_root, 'ImageSets', 'DET')} "
+                f"({n_lists} list files found); either provide the DET "
+                f"portion of the tree or set P_DET=0"
+            )
+
+    def reseed(self, salt: int) -> None:
+        """salt an EXPLICITLY-seeded stream (resume support; same contract
+        as VIDSampler.reseed). Entropy-seeded samplers are untouched."""
+        if self._seed is not None:
+            self.rng = random.Random(f"{self._seed}/{salt}")
 
     def sample(self) -> ImageInstance:
         cid = self.rng.choice(self._classes)
@@ -253,14 +281,13 @@ class ImagenetSampler(DataSampler):
         self.rng = random.Random(seed)
 
     def reseed(self, salt: int) -> None:
-        """see VIDSampler.reseed; delegates to both mixture branches."""
+        """see VIDSampler.reseed; delegates to both mixture branches
+        (each implements its own reseed -- no attribute poking)."""
         if self._seed is not None:
             self.rng = random.Random(f"{self._seed}/{salt}")
         for s in (self._vid, self._det):
             if hasattr(s, "reseed"):
                 s.reseed(salt)
-            elif getattr(s, "_seed", None) is not None:
-                s.rng = random.Random(f"{s._seed}/{salt}")
 
     def sample(self) -> Tuple[ImageInstance, ImageInstance]:
         if sample_bernoulli(self.p_det, self.rng):
@@ -295,15 +322,35 @@ def find_vid_trn_snippet_ids(data_root: PathLike) -> Tuple[str, ...]:
     # NOT single-digit lists (train_1.txt..train_9.txt) -- on a standard
     # ILSVRC2015 tree the snippets listed only for classes 1-9 are skipped,
     # in both frameworks identically.
+    seen = set()
     for list_path in sorted(imagesets.glob("train_[0-9]?.txt")):
         with open(list_path) as f:
             for line in f:
                 sid = line.split()[0]
+                if sid in seen:
+                    # DEVIATION from the reference (imagenet.py:339), which
+                    # appends a multi-class snippet once per list file it
+                    # appears in: a duplicated id straddling the partition
+                    # boundary would land in BOTH the train and val splits
+                    # -- train/val leakage that silently invalidates the
+                    # val-loss early stopping this framework adds. First
+                    # occurrence wins; order is otherwise preserved.
+                    continue
+                seen.add(sid)
                 for root in (frame_root, label_root):
                     if not Path(root, sid).is_dir():
                         raise FileNotFoundError(f"couldn't find {Path(root, sid)}")
                 ids.append(sid)
     return tuple(ids)
+
+
+def _derive(seed, tag: str):
+    """distinct per-component seed from one user seed (None stays None --
+    entropy). Seeding the mixture, VID and DET samplers with the IDENTICAL
+    seed would start (and, via reseed, keep returning) their Mersenne
+    streams bit-identical, correlating the Bernoulli branch choice with the
+    branch's own instance draws."""
+    return None if seed is None else f"{seed}/{tag}"
 
 
 def setup_vid_datasets(
@@ -321,7 +368,7 @@ def setup_vid_datasets(
     snippet_ids = find_vid_trn_snippet_ids(data_root)
     trn_snips, val_snips = partition_items(snippet_ids, vid_partition_sizes)
 
-    trn_vid = VIDSampler(data_root, trn_snips, a, seed)
+    trn_vid = VIDSampler(data_root, trn_snips, a, _derive(seed, "vid"))
     # val/report sets are FIXED draws even when the train stream is entropy-
     # seeded: early stopping compares val losses across epochs and across
     # watchdog exec-restarts, which only means something on a stable set.
@@ -331,8 +378,10 @@ def setup_vid_datasets(
     val_manager = VIDManager(data_root, val_snips, val_size, fixed)
     rep_manager = VIDManager(data_root, trn_snips, rep_size, fixed)
 
-    det = DETSampler(data_root, seed)
-    trn = ImagenetSampler(trn_vid, det, p_det, seed)
+    # P_DET=0 must work on a VID-only tree (the DET portion is a separate
+    # download, and DETSampler fails fast at init when it is absent).
+    det = DETSampler(data_root, _derive(seed, "det")) if p_det > 0 else None
+    trn = ImagenetSampler(trn_vid, det, p_det, _derive(seed, "mix"))
     trn_manager = DataManagerWrapper(trn, trn_size)
 
     return trn_manager, val_manager, rep_manager

@@ -51,6 +51,10 @@ def sample_dlaplace(a: float, rng: random.Random) -> int:
 
     Sampled by inverse CDF: |X| ~ geometric-like with p = 1 - exp(-a),
     sign uniform (X=0 only from the |X|=0 atom)."""
+    if not a > 0:
+        # a = 0 would divide by log(q=1) = 0 (int(-inf) -> OverflowError
+        # deep in the train loop); a < 0 is not a distribution at all.
+        raise ValueError(f"dlaplace needs a > 0, got a={a}")
     # P(X = 0) = tanh(a/2) = (1-q)/(1+q) with q = exp(-a); conditional on
     # X != 0, |X| is geometric over {1, 2, ...} with success prob (1 - q):
     # P(X = +-k) = tanh(a/2) * q^k for k >= 1, splitting evenly over signs.

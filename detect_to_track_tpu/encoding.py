@@ -50,17 +50,22 @@ def frcnn_box_encode(anchors, boxes, xp=jnp):
     Returns:
         offsets: (..., 4).
 
-    Deviation from the reference: the prior's hw is floored at a tiny eps
+    Deviation from the reference: BOTH sides' hw are floored at a tiny eps
     before the divide/log. Real anchors/rois are never smaller (>= 1 px
-    fractional), but region-slot PADDING can be all-zero boxes
-    (ops/nms.py pad branch when fewer candidates than MAX_ROIS exist):
-    an unguarded divide gives inf b_star there, and even though the slot
-    is masked out of every loss, smooth-L1's quadratic-branch VJP turns
-    the masked inf into 0*inf = NaN parameter gradients.
+    fractional), but (a-side) region-slot PADDING can be all-zero boxes
+    (ops/nms.py pad branch when fewer candidates than MAX_ROIS exist), and
+    (b-side) real ILSVRC annotations occasionally carry DEGENERATE gt
+    boxes (xmax == xmin -> w == 0, passed through by pascal.py): an
+    unguarded log gives -inf b_star for that gt's is-best anchor -- a
+    POSITIVE with loss weight 1 -- so one bad annotation turns the RPN
+    bbox loss infinite and NaN-poisons the whole run. Even for masked
+    slots, smooth-L1's quadratic-branch VJP turns a masked inf into
+    0*inf = NaN parameter gradients.
     """
     a_ij, a_hw = anchors[..., :2], anchors[..., 2:]
     b_ij, b_hw = boxes[..., :2], boxes[..., 2:]
     a_hw = xp.maximum(a_hw, 1e-8)
+    b_hw = xp.maximum(b_hw, 1e-8)
     t_ij = (b_ij - a_ij) / a_hw
     t_hw = xp.log(b_hw / a_hw)
     return xp.concatenate([t_ij, t_hw], axis=-1)

@@ -313,3 +313,50 @@ def test_empty_snippet_dir_fails_at_init(ilsvrc, tmp_path):
         f.unlink()
     with pytest.raises(RuntimeError, match="no frames"):
         VIDSampler(root, ids, a=0.8, seed=0)
+
+
+def test_find_snippets_dedupes_across_lists(ilsvrc):
+    """a snippet listed in several train_NN.txt files must appear once:
+    duplicates straddling the partition boundary would leak train data
+    into the val split (deviation from the reference, documented in
+    find_vid_trn_snippet_ids)."""
+    base = find_vid_trn_snippet_ids(ilsvrc)
+    extra = ilsvrc / "ImageSets" / "VID" / "train_11.txt"
+    extra.write_text(f"{base[0]} 1\n{base[2]} 1\n")
+    try:
+        ids = find_vid_trn_snippet_ids(ilsvrc)
+    finally:
+        extra.unlink()
+    assert ids == base  # same set, first occurrence order, no dupes
+
+
+def test_det_sampler_raises_on_missing_det_lists(tmp_path):
+    """VID-only tree (no DET download): DETSampler must fail at init with
+    a clear message, not IndexError at the first draw mid-training."""
+    root = tmp_path / "ILSVRC"
+    devkit = root / "devkit" / "data"
+    devkit.mkdir(parents=True)
+    (devkit / "map_vid.txt").write_text("n0000001 1 name1\n")
+    with pytest.raises(FileNotFoundError, match="P_DET=0"):
+        DETSampler(root, seed=0)
+
+
+def test_dlaplace_rejects_nonpositive_a():
+    rng = random.Random(0)
+    with pytest.raises(ValueError, match="a > 0"):
+        sample_dlaplace(0.0, rng)
+    with pytest.raises(ValueError, match="a > 0"):
+        sample_dlaplace(-0.5, rng)
+
+
+def test_degenerate_gt_box_encodes_finite():
+    """real ILSVRC annotations occasionally carry xmax == xmin (w = 0)
+    boxes; their is-best anchor is a POSITIVE with loss weight 1, so an
+    unguarded log(0) would make the RPN bbox loss infinite. Both hw sides
+    are floored (documented deviation in frcnn_box_encode)."""
+    from detect_to_track_tpu.encoding import frcnn_box_encode
+
+    anchors = np.array([[0.5, 0.5, 0.2, 0.2]], np.float32)
+    degenerate = np.array([[0.5, 0.5, 0.2, 0.0]], np.float32)  # w == 0
+    off = np.asarray(frcnn_box_encode(anchors, degenerate, xp=np))
+    assert np.all(np.isfinite(off))
