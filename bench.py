@@ -27,22 +27,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    # persistent compilation cache: the full joint step compiles in
-    # ~10-15 min through a remote-compile tunnel; a warm cache turns
-    # repeat bench runs into seconds of setup. Harmless locally.
-    try:
-        import os
-        import tempfile
+    from detect_to_track_tpu.utils import enable_compilation_cache
 
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get(
-                "JAX_COMPILATION_CACHE_DIR",
-                os.path.join(tempfile.gettempdir(), "d2t_jaxcache"),
-            ),
-        )
-    except Exception:
-        pass
+    enable_compilation_cache()
 
     from detect_to_track_tpu.config import Config
     from detect_to_track_tpu.data.synthetic import SyntheticVIDManager

@@ -278,8 +278,11 @@ class Detector:
                     else p.astype(jnp.float32)
                     for p in parts
                 ]
-            return jnp.stack(parts)
-        return x
+            # device arrays still pass the HOST_S2D guard: a 3-channel
+            # device stack cannot be transformed host-side and must be
+            # rejected (not silently run through a second, non-s2d graph).
+            return self._maybe_s2d(jnp.stack(parts))
+        return self._maybe_s2d(x)
 
     def detect_pairs(self, pairs) -> PairDetections:
         """batched raw API: pairs is (P, 2, H, W, 3) numpy/PIL-free input;

@@ -748,20 +748,23 @@ class DetectTrackTrainer:
                     not self._check_finite(dtl)
                     and self.cfg.NAN_POLICY == "skip"
                 )
+                self.n_iters += self.cfg.BATCH_SIZE
+                # mid-epoch watchdog on EVERY batch (skipped or not, and
+                # independent of LOG_EVERY): the remote client retains the
+                # batch's transfer bytes whether or not the update was
+                # applied, and epochs longer than the leak headroom must
+                # still autosave before the OOM killer arrives (the
+                # motivating failure died at step ~910, mid-epoch; PERF.md
+                # "host memory"). Cost below the limit is one /proc read.
+                self._check_host_memory()
                 if skipped:
                     # the skipped batch still advances the instance budget
-                    # (run(max_iters) must terminate even on a bad shard)
-                    # and still runs the host-RSS watchdog: the remote
-                    # client retains the batch's transfer bytes whether or
-                    # not the update was applied (PERF.md "host memory").
-                    self.n_iters += self.cfg.BATCH_SIZE
-                    self._check_host_memory()
+                    # (run(max_iters) must terminate even on a bad shard).
                     if self.n_iters >= self._max_iters:
                         break
                     continue
                 trn_loss = trn_loss + dtl
                 window = window + dtl
-                self.n_iters += self.cfg.BATCH_SIZE
                 if (
                     self.cfg.LOG_EVERY
                     and float(window.count) >= self.cfg.LOG_EVERY
@@ -776,11 +779,6 @@ class DetectTrackTrainer:
                         }
                     )
                     window = DTLoss()
-                    # mid-epoch watchdog: epochs longer than the leak
-                    # headroom must still autosave before the OOM killer
-                    # arrives (the motivating failure died at step ~910,
-                    # mid-epoch; PERF.md "host memory").
-                    self._check_host_memory()
                 if self.n_iters >= self._max_iters:
                     break  # stop mid-epoch too (smoke runs, budget caps)
         finally:
@@ -1077,8 +1075,9 @@ class DetectTrackTrainer:
         process exit (measured; PERF.md 'host memory'). Saves to
         `ckpt_autosave` -- NOT the latest-best `ckpt`, which only val
         improvements may overwrite; restore() picks the newer of the two.
-        Runs both between epochs and at every LOG_EVERY window, so epochs
-        longer than the leak headroom still checkpoint in time; optimizer
+        Runs between epochs and on every training batch (a /proc read
+        below the limit), so epochs longer than the leak headroom still
+        checkpoint in time regardless of LOG_EVERY; optimizer
         progress is preserved across mid-epoch restarts (n_iters/step ride
         the checkpoint), only the partial epoch's shuffle position resets."""
         if getattr(self, "_rss_watchdog_disarmed", False):

@@ -10,6 +10,31 @@ from typing import Iterator, Tuple, Union
 import numpy as np
 
 
+def enable_compilation_cache() -> None:
+    """point jax at a persistent compilation cache directory.
+
+    The full joint graph compiles in ~10-15 min through a remote-compile
+    tunnel; a warm cache turns repeat runs into seconds of setup. Harmless
+    locally. Directory: $JAX_COMPILATION_CACHE_DIR, else
+    <tempdir>/d2t_jaxcache. Single shared implementation for bench.py,
+    __graft_entry__.py and the tools/ benches."""
+    import os
+    import tempfile
+
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                os.path.join(tempfile.gettempdir(), "d2t_jaxcache"),
+            ),
+        )
+    except Exception:
+        pass  # older jax without the option: cold compiles, still correct
+
+
 def image_to_input(
     im, net_input_shape: Union[int, Tuple[int, int]], as_uint8: bool = False
 ) -> np.ndarray:

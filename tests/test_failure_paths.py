@@ -140,6 +140,41 @@ def test_host_rss_watchdog_disarms_without_handler(capsys):
     assert "disarmed" in capsys.readouterr().out
 
 
+def test_host_rss_watchdog_fires_mid_epoch_with_logging_disabled(tmp_path):
+    """the mid-epoch watchdog must run on EVERY batch, not only inside the
+    LOG_EVERY logging branch: a user silencing metrics (LOG_EVERY=0) must
+    not silently lose OOM protection (the motivating failure was killed
+    MID-epoch at step ~910; PERF.md 'host memory')."""
+    import jax
+
+    from detect_to_track_tpu.data.synthetic import SyntheticVIDManager
+    from detect_to_track_tpu.trainer import DetectTrackTrainer
+    from tests.test_train_step import TINY, tiny_model
+
+    cfg = TINY.replace(
+        LOG_EVERY=0,
+        HOST_RSS_LIMIT_GB=0.001,  # any live process exceeds 1 MB
+        OUTPUT_DIR=str(tmp_path),
+    )
+    model = tiny_model(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0), cfg)
+    mgr = SyntheticVIDManager(n_samples=8, image_hw=cfg.INPUT_SHAPE,
+                              n_classes=cfg.N_CLASSES)
+    trainer = DetectTrackTrainer(model, variables, mgr, mgr, None, cfg)
+
+    class _Fired(Exception):
+        pass
+
+    def handler():
+        raise _Fired  # stop immediately; train.py would exec-restart here
+
+    trainer.on_host_memory_limit = handler
+    trainer._max_iters = float("inf")
+    with pytest.raises(_Fired):
+        trainer.train()  # must trip on the FIRST batch, mid-epoch
+    assert (tmp_path / "ckpt_autosave").exists()
+
+
 def test_host_rss_reads_current_not_peak():
     """the watchdog must read CURRENT RSS: ru_maxrss (lifetime peak)
     survives execve, so a restarted process would re-trip forever."""

@@ -208,6 +208,27 @@ def test_detector_host_s2d_matches_plain(detector, rng):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+def test_host_s2d_rejects_device_input(detector, rng):
+    """a 3-channel DEVICE array under HOST_S2D cannot be transformed on the
+    host (its bytes never visit the host) -- detect_pairs must reject it at
+    the ingestion guard rather than silently compile a second, non-s2d
+    graph variant (inference._pack_input -> _maybe_s2d)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from detect_to_track_tpu.inference import Detector
+
+    det, cfg = detector
+    det_s2d = Detector(det.model, det.variables, cfg.replace(HOST_S2D=True))
+    h, w = cfg.INPUT_SHAPE
+    pairs_dev = jnp.asarray(rng.rand(1, 2, h, w, 3).astype(np.float32))
+    with pytest.raises(ValueError, match="HOST_S2D"):
+        det_s2d.detect_pairs(pairs_dev)
+    # a list holding device frames hits the same guard on the stacked batch
+    with pytest.raises(ValueError, match="HOST_S2D"):
+        det_s2d.detect_pairs([pairs_dev[0], pairs_dev[0]])
+
+
 def test_clip_tracker_host_s2d_matches_plain(detector, rng):
     """HOST_S2D through the clip path: chunked uploads ship the pre-s2d
     layout and detect_clip consumes it; tubelets must match the plain

@@ -45,30 +45,20 @@ def main() -> None:
     if "--trace" in args:
         trace_dir = args[args.index("--trace") + 1]
 
+    from detect_to_track_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = Config(BATCH_SIZE=bs, HOST_S2D=s2d)
-    model = DetectTrackModule(
-        backbone_arch=cfg.BACKBONE_ARCH,
-        first_trainable_stage=cfg.FIRST_TRAINABLE_STAGE,
-        remat=cfg.REMAT,
-        n_anchors=cfg.n_anchors_per_cell,
-        n_classes=cfg.N_CLASSES,
-        k=cfg.K,
-        d_max=cfg.D_MAX,
-        r_hw=cfg.K,
-        dtype=cfg.compute_dtype,
-    )
+    # the ONE module factory (detect_track.py): benches must measure the
+    # exact module train.py/evaluate.py build from this cfg.
+    model = DetectTrackModule.from_config(cfg)
     manager = SyntheticVIDManager(
         n_samples=bs, image_hw=cfg.INPUT_SHAPE, n_classes=cfg.N_CLASSES
     )
     batch = jax.device_put(next(iter(BatchLoader(manager, bs, cfg, seed=0))))
     print("images:", batch.images.shape, batch.images.dtype, flush=True)
 
-    h, w = cfg.INPUT_SHAPE
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((2, h, w, 3), jnp.float32),
-        jnp.full((2, cfg.MAX_ROIS, 4), 0.4, jnp.float32),
-    )
+    variables = model.init_variables(jax.random.PRNGKey(0), cfg)
     params = variables["params"]
     tx = make_optimizer(cfg, params)
     step = make_train_step(model, cfg, tx)
