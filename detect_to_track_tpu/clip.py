@@ -174,12 +174,14 @@ class ClipTracker:
         n = len(arrs)
         chunk = min(self.frame_chunk, n)
 
-        conf_seq: List[np.ndarray] = [None] * n
         bbox_seq: List[np.ndarray] = [None] * n
-        track_seq: List[np.ndarray] = [None] * (n - 1)
-        seq_slots = [None] * (n - 1)  # device (D, D) link-score matrices
-        chunk_boxes = []  # (chunk start, device (F, D, 4)) per chunk
-        init_scores = None
+        if self.device_linking:
+            seq_slots = [None] * (n - 1)  # device (D, D) link-score mats
+            chunk_boxes = []  # (chunk start, device (F, D, 4)) per chunk
+            init_scores = None
+        else:
+            conf_seq: List[np.ndarray] = [None] * n
+            track_seq: List[np.ndarray] = [None] * (n - 1)
 
         # overlapping chunks: each covers frames [s, s+chunk); consecutive
         # chunks share one frame so every adjacent pair gets a track. The

@@ -264,20 +264,15 @@ class Detector:
         if isinstance(x, np.ndarray):
             return self._maybe_s2d(x)
         if isinstance(x, (list, tuple)):
-            if all(isinstance(p, np.ndarray) for p in x):
-                from .utils import promote_mixed_image_dtypes
+            from .utils import promote_mixed_image_dtypes
 
+            if all(isinstance(p, np.ndarray) for p in x):
                 return self._maybe_s2d(
                     np.asarray(promote_mixed_image_dtypes(list(x)))
                 )
-            parts = [jnp.asarray(p) for p in x]
-            if len({p.dtype for p in parts}) > 1:
-                parts = [
-                    p.astype(jnp.float32) / 255.0
-                    if p.dtype == jnp.uint8
-                    else p.astype(jnp.float32)
-                    for p in parts
-                ]
+            parts = promote_mixed_image_dtypes(
+                [jnp.asarray(p) for p in x], xp=jnp
+            )
             # device arrays still pass the HOST_S2D guard: a 3-channel
             # device stack cannot be transformed host-side and must be
             # rejected (not silently run through a second, non-s2d graph).

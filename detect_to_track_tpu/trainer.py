@@ -714,6 +714,22 @@ class DetectTrackTrainer:
         with open(self.output_dir / "metrics.jsonl", "a") as f:
             f.write(json.dumps(scalars) + "\n")
 
+    def _device_batches(self, loader) -> Iterator:
+        """prefetched, double-buffered upload loop shared by train() and
+        validate() (same pattern as clip.py): jax.device_put is async, so
+        batch N+1's host->device transfer rides while step N computes and
+        while the per-step device_get waits on step N's losses. Without
+        this the loss sync serializes upload -> compute -> readback."""
+        it = prefetch(iter(loader))
+        nxt = next(it, None)
+        pending = self._upload_batch(nxt) if nxt is not None else None
+        while pending is not None:
+            nxt = next(it, None)
+            nxt_dev = self._upload_batch(nxt) if nxt is not None else None
+            batch = pending
+            pending = nxt_dev
+            yield batch
+
     def train(self) -> DTLoss:
         trn_loss = DTLoss()
         trace_ctx = None
@@ -724,19 +740,7 @@ class DetectTrackTrainer:
             trace_ctx.__enter__()
         try:
             window = DTLoss()
-            # double-buffered batch uploads (same pattern as clip.py):
-            # jax.device_put is async, so batch N+1's host->device transfer
-            # rides while step N computes and while the device_get below
-            # waits on step N's losses. Without this the per-step loss sync
-            # serializes upload -> compute -> readback.
-            it = prefetch(iter(self.trn_loader))
-            nxt = next(it, None)
-            pending = self._upload_batch(nxt) if nxt is not None else None
-            while pending is not None:
-                nxt = next(it, None)
-                nxt_dev = self._upload_batch(nxt) if nxt is not None else None
-                batch = pending
-                pending = nxt_dev
+            for batch in self._device_batches(self.trn_loader):
                 # under NAN_POLICY="skip" the jitted step itself rolls back
                 # to the pre-step state on a non-finite loss (on-device
                 # select in make_train_step) -- the host only skips the
@@ -805,17 +809,9 @@ class DetectTrackTrainer:
 
     def validate(self) -> DTLoss:
         val_loss = DTLoss()
-        # same double-buffered upload as train(): batch N+1's transfer
-        # rides while eval step N computes / reads back.
-        it = prefetch(iter(self.val_loader))
-        nxt = next(it, None)
-        pending = self._upload_batch(nxt) if nxt is not None else None
-        while pending is not None:
-            nxt = next(it, None)
-            nxt_dev = self._upload_batch(nxt) if nxt is not None else None
-            dtl = self._eval_step(self.state.params, pending)
+        for batch in self._device_batches(self.val_loader):
+            dtl = self._eval_step(self.state.params, batch)
             val_loss = val_loss + self._host(dtl)
-            pending = nxt_dev
         return val_loss
 
     def _report_images(self) -> Dict[str, object]:
@@ -1038,19 +1034,31 @@ class DetectTrackTrainer:
             self.iters_no_improvement += 1
 
     def _host_rss_limit_gb(self) -> float:
+        # cached: the bound is invariant for the process lifetime (cfg is
+        # fixed, MemTotal doesn't change), and this runs on EVERY training
+        # batch -- the auto path would otherwise re-scan /proc/meminfo each
+        # time. getattr (not __init__) so duck-typed watchdog test doubles
+        # that borrow these methods keep working.
+        cached = getattr(self, "_rss_limit_cache", None)
+        if cached is not None:
+            return cached
         lim = self.cfg.HOST_RSS_LIMIT_GB
         if lim == 0:
-            return float("inf")
-        if lim > 0:
-            return float(lim)
-        try:  # auto: 70% of MemTotal
-            with open("/proc/meminfo") as f:
-                for line in f:
-                    if line.startswith("MemTotal"):
-                        return 0.7 * int(line.split()[1]) / 1e6
-        except OSError:
-            pass
-        return float("inf")
+            limit = float("inf")
+        elif lim > 0:
+            limit = float(lim)
+        else:
+            limit = float("inf")
+            try:  # auto: 70% of MemTotal
+                with open("/proc/meminfo") as f:
+                    for line in f:
+                        if line.startswith("MemTotal"):
+                            limit = 0.7 * int(line.split()[1]) / 1e6
+                            break
+            except OSError:
+                pass
+        self._rss_limit_cache = limit
+        return limit
 
     @staticmethod
     def _host_rss_gb() -> float:
@@ -1082,10 +1090,11 @@ class DetectTrackTrainer:
         the checkpoint), only the partial epoch's shuffle position resets."""
         if getattr(self, "_rss_watchdog_disarmed", False):
             return
-        rss_gb = self._host_rss_gb()
         limit = self._host_rss_limit_gb()
         if limit == float("inf"):
-            return  # disabled -- stay silent, even multi-process
+            return  # disabled -- stay silent, even multi-process; no
+            # /proc/self/statm read either (per-batch hot path)
+        rss_gb = self._host_rss_gb()
         if jax.process_count() > 1:
             # the autosave checkpoint is a COLLECTIVE (orbax syncs all
             # processes) but RSS crosses the bound at different times on

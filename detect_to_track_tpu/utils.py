@@ -58,18 +58,20 @@ def image_to_input(
     return np.asarray(im, np.float32) / 255.0
 
 
-def promote_mixed_image_dtypes(arrays):
+def promote_mixed_image_dtypes(arrays, xp=np):
     """normalize a mixed uint8/float image-array list to a single dtype:
-    uint8 entries become float32/255 on host. np.stack on a mixed list
-    would silently promote uint8 VALUES 0-255 into the float batch. The
+    uint8 entries become float32/255. np.stack on a mixed list would
+    silently promote uint8 VALUES 0-255 into the float batch. The
     single-dtype case passes through untouched (uint8 stays uint8 for the
-    transfer-lean device-/255 path)."""
+    transfer-lean device-/255 path). xp=jnp applies the same rule to
+    device arrays without downloading them (Detector._pack_input)."""
     if len({a.dtype for a in arrays}) <= 1:
         return arrays
+    u8 = xp.uint8
     return [
-        a.astype(np.float32) / np.float32(255.0)
-        if a.dtype == np.uint8
-        else a.astype(np.float32)
+        a.astype(xp.float32) / xp.float32(255.0)
+        if a.dtype == u8
+        else a.astype(xp.float32)
         for a in arrays
     ]
 
