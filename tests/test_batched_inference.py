@@ -71,3 +71,27 @@ def test_detect_clip_mixed_dtype_list_normalizes(detector, rng):
     np.testing.assert_allclose(
         np.asarray(got.boxes), np.asarray(ref.boxes), rtol=1e-4, atol=1e-5
     )
+
+
+def test_detect_clip_mixed_dtype_device_list_normalizes(detector, rng):
+    """a list holding DEVICE arrays takes _pack_input's on-device branch
+    (no tunnel download); mixed uint8/float entries must promote with the
+    /255 there too (utils.promote_mixed_image_dtypes with xp=jnp), matching
+    the all-host-float result exactly."""
+    det, cfg = detector
+    h, w = cfg.INPUT_SHAPE
+    f = rng.rand(3, h, w, 3).astype(np.float32)
+    u1 = np.clip(np.rint(f[1] * 255.0), 0, 255).astype(np.uint8)
+    frames_f = [f[0], u1.astype(np.float32) / 255.0, f[2]]
+    # one device array in the list forces the jnp.stack branch
+    frames_d = [jnp.asarray(f[0]), jnp.asarray(u1), f[2]]
+
+    packed = det._pack_input(frames_d)
+    assert isinstance(packed, jax.Array) and packed.dtype == jnp.float32
+
+    ref = det.detect_clip(np.stack(frames_f))
+    got = det.detect_clip(frames_d)
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))
+    np.testing.assert_allclose(
+        np.asarray(got.boxes), np.asarray(ref.boxes), rtol=1e-4, atol=1e-5
+    )
