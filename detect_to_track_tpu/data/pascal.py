@@ -57,6 +57,15 @@ def parse_pascal_xmlfile(labelpath: PathLike) -> Tuple[PascalObjectLabel, ...]:
         cj = (xmin + xmax) / 2 / im_w
         h = (ymax - ymin) / im_h
         w = (xmax - xmin) / im_w
+        if h <= 0 or w <= 0:
+            # real ILSVRC annotations occasionally carry degenerate boxes
+            # (xmax == xmin): a zero-size gt can only produce a nonsense
+            # regression target -- its is-best anchor becomes a weight-1
+            # positive trained toward log(~0/a_hw) ~ -17 -- so drop it
+            # here, before it can become a target. frcnn_box_encode's hw
+            # floor stays as defense-in-depth for padding slots and
+            # non-pascal label sources.
+            continue
         labels.append(
             PascalObjectLabel(class_id=name, bbox=(ci, cj, h, w), track_id=track_id)
         )

@@ -812,6 +812,12 @@ class DetectTrackTrainer:
         for batch in self._device_batches(self.val_loader):
             dtl = self._eval_step(self.state.params, batch)
             val_loss = val_loss + self._host(dtl)
+            # same per-batch watchdog as train(): the remote client retains
+            # VALIDATION uploads too, and a long val split crossing the RSS
+            # bound mid-epoch must autosave before the OOM killer arrives
+            # (a restart re-runs the epoch from the checkpointed step --
+            # same semantics as a mid-train restart).
+            self._check_host_memory()
         return val_loss
 
     def _report_images(self) -> Dict[str, object]:
@@ -1056,7 +1062,11 @@ class DetectTrackTrainer:
                             limit = 0.7 * int(line.split()[1]) / 1e6
                             break
             except OSError:
-                pass
+                # TRANSIENT read failure (e.g. momentary fd exhaustion in
+                # the leaky remote-client process): treat as disabled for
+                # this call only -- caching inf here would silently disarm
+                # the watchdog for the process lifetime. Retried next batch.
+                return float("inf")
         self._rss_limit_cache = limit
         return limit
 
