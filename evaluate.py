@@ -30,6 +30,13 @@ def main() -> None:
         help="also evaluate every rotating ckpt_step_* next to --ckpt "
         "(mAP-vs-step from the training run's checkpoint history)",
     )
+    parser.add_argument(
+        "--min-step",
+        type=int,
+        default=0,
+        help="with --all-ckpts: skip rotating checkpoints below this step "
+        "(extend an existing mAP-vs-step trace without re-scoring it)",
+    )
     args = parser.parse_args()
     if args.reference_weights and args.ckpt:
         # ambiguous: both would populate `variables`, and whichever silently
@@ -63,7 +70,11 @@ def main() -> None:
 
         main_path = Path(args.ckpt).absolute()
         if args.all_ckpts:
-            ckpt_paths = sorted(main_path.parent.glob("ckpt_step_*"))
+            ckpt_paths = [
+                p
+                for p in sorted(main_path.parent.glob("ckpt_step_*"))
+                if int(p.name.rsplit("_", 1)[1]) >= args.min_step
+            ]
         if main_path not in ckpt_paths:  # --ckpt may BE a rotating entry
             ckpt_paths.append(main_path)
 

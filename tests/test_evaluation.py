@@ -128,7 +128,11 @@ def test_evaluate_cli_all_ckpts_shares_one_detector(tmp_path, monkeypatch, capsy
         jnp.full((2, cfg.MAX_ROIS, 4), 0.4, jnp.float32),
     )
     ckptr = ocp.StandardCheckpointer()
-    for name, step in [("ckpt_step_00000002", 2), ("ckpt", 4)]:
+    for name, step in [
+        ("ckpt_step_00000002", 2),
+        ("ckpt_step_00000003", 3),
+        ("ckpt", 4),
+    ]:
         path = (tmp_path / name).absolute()
         ckptr.save(
             path,
@@ -166,6 +170,21 @@ def test_evaluate_cli_all_ckpts_shares_one_detector(tmp_path, monkeypatch, capsy
 
     out = capsys.readouterr().out
     lines = [l for l in out.splitlines() if "'mAP'" in l]
-    assert len(lines) == 2  # one per history entry + the main ckpt
+    assert len(lines) == 3  # one per history entry + the main ckpt
     assert "ckpt_step_00000002" in out and "ckpt(best)" in out
     assert sum(inits) == 1  # ONE Detector, params swapped per restore
+
+    # --min-step extends an existing trace: rotating entries below the
+    # bound are skipped entirely (never restored, never evaluated); the
+    # main --ckpt path still scores so the run's best is always printed.
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        sys.argv[:-1] + ["--all-ckpts", "--min-step", "3"],
+    )
+    mod.main()
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if "'mAP'" in l]
+    assert len(lines) == 2
+    assert "ckpt_step_00000002" not in out
+    assert "ckpt_step_00000003" in out and "ckpt(best)" in out
