@@ -809,15 +809,23 @@ class DetectTrackTrainer:
 
     def validate(self) -> DTLoss:
         val_loss = DTLoss()
-        for batch in self._device_batches(self.val_loader):
-            dtl = self._eval_step(self.state.params, batch)
-            val_loss = val_loss + self._host(dtl)
-            # same per-batch watchdog as train(): the remote client retains
-            # VALIDATION uploads too, and a long val split crossing the RSS
-            # bound mid-epoch must autosave before the OOM killer arrives
-            # (a restart re-runs the epoch from the checkpointed step --
-            # same semantics as a mid-train restart).
-            self._check_host_memory()
+        # same per-batch watchdog as train(): the remote client retains
+        # VALIDATION uploads too, and a long val split crossing the RSS
+        # bound mid-epoch must autosave before the OOM killer arrives.
+        # _in_validate marks the autosave's meta sidecar (val_pending) so
+        # the restarted process resumes INTO validation (run()) instead of
+        # silently skipping this epoch's val loss -- otherwise the restart
+        # would train a whole further epoch first, and a val split that
+        # trips the watchdog on every pass would starve early stopping and
+        # the best-`ckpt` save forever.
+        self._in_validate = True
+        try:
+            for batch in self._device_batches(self.val_loader):
+                dtl = self._eval_step(self.state.params, batch)
+                val_loss = val_loss + self._host(dtl)
+                self._check_host_memory()
+        finally:
+            self._in_validate = False
         return val_loss
 
     def _report_images(self) -> Dict[str, object]:
@@ -947,6 +955,10 @@ class DetectTrackTrainer:
                     "dropped_labels": getattr(
                         self.trn_loader, "dropped_labels", 0
                     ),
+                    # true only for a watchdog autosave fired INSIDE
+                    # validate(): the saved state is post-train-epoch but
+                    # its val loss was never computed (see validate()).
+                    "val_pending": bool(getattr(self, "_in_validate", False)),
                 }
             )
         )
@@ -1025,12 +1037,17 @@ class DetectTrackTrainer:
             self.trn_loader.dropped_labels = int(
                 meta.get("dropped_labels", 0)
             )
+        self._val_pending = bool(meta.get("val_pending", False))
 
     def step(self) -> None:
         trn_loss = self.train()
         val_loss = self.validate()
         self.report(trn_loss, val_loss)
+        self._note_val_result(val_loss)
 
+    def _note_val_result(self, val_loss: DTLoss) -> None:
+        """early-stopping + best-`ckpt` bookkeeping for one epoch's val loss
+        (shared by step() and run()'s resumed-validation path)."""
         scalar = float(val_loss.to_scalar(self._coefs))
         if scalar < self.best_val_loss:
             self.best_val_loss = scalar
@@ -1054,18 +1071,23 @@ class DetectTrackTrainer:
         elif lim > 0:
             limit = float(lim)
         else:
-            limit = float("inf")
+            limit = None
             try:  # auto: 70% of MemTotal
                 with open("/proc/meminfo") as f:
                     for line in f:
                         if line.startswith("MemTotal"):
                             limit = 0.7 * int(line.split()[1]) / 1e6
                             break
-            except OSError:
-                # TRANSIENT read failure (e.g. momentary fd exhaustion in
-                # the leaky remote-client process): treat as disabled for
-                # this call only -- caching inf here would silently disarm
-                # the watchdog for the process lifetime. Retried next batch.
+            except (OSError, ValueError, IndexError):
+                limit = None
+            if limit is None:
+                # TRANSIENT read/parse failure (momentary fd exhaustion in
+                # the leaky remote-client process, a truncated or malformed
+                # MemTotal line, or no MemTotal at all): treat as disabled
+                # for this call only -- caching inf here would silently
+                # disarm the watchdog for the process lifetime, and letting
+                # a parse error escape would kill training mid-batch over
+                # one degraded /proc read. Retried next batch.
                 return float("inf")
         self._rss_limit_cache = limit
         return limit
@@ -1144,6 +1166,15 @@ class DetectTrackTrainer:
 
     def run(self, max_iters: float = float("inf")) -> None:
         self._max_iters = max_iters
+        if getattr(self, "_val_pending", False):
+            # the restored autosave was written INSIDE validate(): finish
+            # that epoch's interrupted validation first (fresh process =
+            # fresh RSS headroom) so its early-stopping comparison and
+            # potential best-`ckpt` save are not lost.
+            self._val_pending = False
+            val_loss = self.validate()
+            print(f"resumed validation: {val_loss!r}")
+            self._note_val_result(val_loss)
         while not (
             self.iters_no_improvement > self.cfg.PATIENCE
             or self.n_iters >= max_iters

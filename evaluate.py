@@ -70,10 +70,20 @@ def main() -> None:
 
         main_path = Path(args.ckpt).absolute()
         if args.all_ckpts:
+
+            def _step_of(p):
+                # non-numeric suffixes (a user's ckpt_step_250.bak next to
+                # the real history) must not abort the whole sweep: skip
+                # them rather than crash before scoring anything.
+                try:
+                    return int(p.name.rsplit("_", 1)[1])
+                except ValueError:
+                    return None
+
             ckpt_paths = [
                 p
                 for p in sorted(main_path.parent.glob("ckpt_step_*"))
-                if int(p.name.rsplit("_", 1)[1]) >= args.min_step
+                if (s := _step_of(p)) is not None and s >= args.min_step
             ]
         if main_path not in ckpt_paths:  # --ckpt may BE a rotating entry
             ckpt_paths.append(main_path)

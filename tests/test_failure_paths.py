@@ -175,6 +175,72 @@ def test_host_rss_watchdog_fires_mid_epoch_with_logging_disabled(tmp_path):
     assert (tmp_path / "ckpt_autosave").exists()
 
 
+def test_watchdog_mid_validation_resumes_into_validation(tmp_path):
+    """a watchdog autosave fired INSIDE validate() must mark val_pending in
+    its meta sidecar, and a restored trainer must finish that epoch's
+    interrupted validation (run()'s pre-loop path) instead of silently
+    skipping it: otherwise a val split that trips the RSS bound on every
+    pass would starve early stopping and the best-`ckpt` save forever,
+    while training runs on to --max-iters."""
+    import json
+
+    import jax
+
+    from detect_to_track_tpu.data.synthetic import SyntheticVIDManager
+    from detect_to_track_tpu.trainer import DetectTrackTrainer
+    from tests.test_train_step import TINY, tiny_model
+
+    cfg = TINY.replace(
+        LOG_EVERY=0,
+        HOST_RSS_LIMIT_GB=0,  # disabled while training the first epoch
+        OUTPUT_DIR=str(tmp_path),
+    )
+    model = tiny_model(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0), cfg)
+    mgr = SyntheticVIDManager(n_samples=cfg.BATCH_SIZE,
+                              image_hw=cfg.INPUT_SHAPE,
+                              n_classes=cfg.N_CLASSES)
+    trainer = DetectTrackTrainer(model, variables, mgr, mgr, None, cfg)
+    trainer._max_iters = cfg.BATCH_SIZE
+    trainer.train()
+
+    # arm the watchdog (clear the cached limit), then trip it mid-validate
+    trainer.cfg = trainer.cfg.replace(HOST_RSS_LIMIT_GB=0.001)
+    trainer._rss_limit_cache = None
+
+    class _Fired(Exception):
+        pass
+
+    def handler():
+        raise _Fired  # train.py would exec-restart here
+
+    trainer.on_host_memory_limit = handler
+    with pytest.raises(_Fired):
+        trainer.validate()
+    meta = json.loads((tmp_path / "ckpt_autosave.meta.json").read_text())
+    assert meta["val_pending"] is True
+
+    # fresh trainer = the exec-restarted process: restore picks the
+    # autosave, and run() must complete the pending validation (improving
+    # on best_val_loss=inf -> best-`ckpt` save) BEFORE any training.
+    variables2 = model.init_variables(jax.random.PRNGKey(1), cfg)
+    trainer2 = DetectTrackTrainer(model, variables2, mgr, mgr, None, cfg)
+    trainer2.restore()
+    assert trainer2._val_pending
+
+    def fail_train():
+        raise AssertionError("trained before finishing the pending val")
+
+    trainer2.train = fail_train  # max_iters below blocks the loop anyway
+    trainer2.run(max_iters=trainer2.n_iters)
+    assert not trainer2._val_pending
+    assert trainer2.best_val_loss < float("inf")
+    ckpt_meta = json.loads((tmp_path / "ckpt.meta.json").read_text())
+    assert ckpt_meta["val_pending"] is False
+    # clean completion drops the autosave so it can't shadow future runs
+    assert not (tmp_path / "ckpt_autosave").exists()
+
+
 def test_host_rss_reads_current_not_peak():
     """the watchdog must read CURRENT RSS: ru_maxrss (lifetime peak)
     survives execve, so a restarted process would re-trip forever."""
