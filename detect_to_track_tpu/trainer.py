@@ -1186,6 +1186,14 @@ class DetectTrackTrainer:
             ):
                 break  # done -- don't exec-restart just to exit
             self._check_host_memory()
+        # the endpoint of a bounded run is evidence in its own right (e.g.
+        # scoring mAP at the --max-iters step): the latest-best `ckpt` only
+        # advances on val improvement, so a run whose val loss plateaued
+        # would otherwise end with its final weights existing nowhere on
+        # disk. Saved under its own name -- never shadows `ckpt` (restore()
+        # considers only ckpt/ckpt_autosave) and never enters the rotating
+        # history.
+        self.checkpoint(self.output_dir / "ckpt_final")
         # clean completion: drop the watchdog autosave so it cannot shadow
         # a future run's checkpoints in a reused OUTPUT_DIR.
         auto = self.output_dir / "ckpt_autosave"

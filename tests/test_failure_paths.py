@@ -237,8 +237,12 @@ def test_watchdog_mid_validation_resumes_into_validation(tmp_path):
     assert trainer2.best_val_loss < float("inf")
     ckpt_meta = json.loads((tmp_path / "ckpt.meta.json").read_text())
     assert ckpt_meta["val_pending"] is False
-    # clean completion drops the autosave so it can't shadow future runs
+    # clean completion drops the autosave so it can't shadow future runs...
     assert not (tmp_path / "ckpt_autosave").exists()
+    # ...and saves the run's ENDPOINT: a bounded run whose val loss
+    # plateaus must not end with its final weights existing nowhere.
+    final_meta = json.loads((tmp_path / "ckpt_final.meta.json").read_text())
+    assert final_meta["n_iters"] == trainer2.n_iters
 
 
 def test_host_rss_reads_current_not_peak():
