@@ -142,8 +142,14 @@ def main() -> None:
     # baseline ratio: previous recorded round, if any. The prior config is
     # recorded alongside so a batch-size change is visible in the ratio
     # (ADVICE r2: don't conflate config changes with code speedups).
+    import os
+
     prev, prev_config = None, None
-    for path in sorted(glob.glob("BENCH_r*.json")):
+    # anchored to this file, not cwd: running bench from another directory
+    # must not silently lose the baseline (vs_baseline=1.0 would misreport
+    # a regression or speedup as flat).
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         try:
             rec = json.load(open(path))
             rec = rec.get("parsed", rec)  # driver records nest under "parsed"

@@ -47,10 +47,18 @@ def main() -> None:
     from detect_to_track_tpu.evaluation import evaluate_detector
     from detect_to_track_tpu.inference import Detector
     from detect_to_track_tpu.models import DetectTrackModule
+    from detect_to_track_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat evals must not recompile for minutes
 
     cfg = load_config(args.cfg)
     model = DetectTrackModule.from_config(cfg)
-    variables = model.init_variables(jax.random.PRNGKey(0), cfg)
+    if not (args.ckpt or args.reference_weights):
+        # random-init eval (harness smoke). With a weight source given the
+        # init would be discarded unused -- at full resolution that's a
+        # multi-minute traced forward wasted before the first checkpoint
+        # even loads.
+        variables = model.init_variables(jax.random.PRNGKey(0), cfg)
 
     if args.reference_weights:
         import torch
@@ -68,7 +76,9 @@ def main() -> None:
     if args.ckpt:
         from pathlib import Path
 
-        main_path = Path(args.ckpt).absolute()
+        # resolve (not absolute): '..'/symlink components would defeat the
+        # "main ckpt may BE a rotating entry" dedup below and score it twice
+        main_path = Path(args.ckpt).resolve()
         if args.all_ckpts:
 
             def _step_of(p):

@@ -43,7 +43,12 @@ def main() -> None:
     s2d = "--s2d" in args
     trace_dir = None
     if "--trace" in args:
-        trace_dir = args[args.index("--trace") + 1]
+        i = args.index("--trace")
+        if i + 1 >= len(args) or args[i + 1].startswith("-"):
+            # a missing operand must not crash (or, worse, silently eat the
+            # next flag as a directory name literally called "--s2d")
+            sys.exit("usage: --trace DIR (missing trace directory)")
+        trace_dir = args[i + 1]
 
     from detect_to_track_tpu.utils import enable_compilation_cache
 
