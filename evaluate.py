@@ -91,7 +91,10 @@ def main() -> None:
                     return None
 
             ckpt_paths = [
-                p
+                # resolve() each entry so the dedup below compares like with
+                # like: --ckpt is resolved, and a symlinked --ckpt pointing
+                # at a rotating entry must not be scored twice (ADVICE r3).
+                p.resolve()
                 for p in sorted(main_path.parent.glob("ckpt_step_*"))
                 if (s := _step_of(p)) is not None and s >= args.min_step
             ]

@@ -204,9 +204,9 @@ def test_watchdog_mid_validation_resumes_into_validation(tmp_path):
     trainer._max_iters = cfg.BATCH_SIZE
     trainer.train()
 
-    # arm the watchdog (clear the cached limit), then trip it mid-validate
+    # arm the watchdog by changing cfg alone: the limit cache is keyed on
+    # the cfg value (ADVICE r3), so no reach-in reset is needed
     trainer.cfg = trainer.cfg.replace(HOST_RSS_LIMIT_GB=0.001)
-    trainer._rss_limit_cache = None
 
     class _Fired(Exception):
         pass
