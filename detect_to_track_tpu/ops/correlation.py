@@ -190,7 +190,6 @@ def _bwd_fm0_kernel(
     out_ref,  # (1, TH, W, CB) VMEM (native dtype)
     halo,  # (TH+2d, W+2d, CB) VMEM scratch
     acc,  # (TH, W, CB) f32 VMEM scratch (di accumulator)
-    gb_all,  # (2d, TH, W, W8) VMEM scratch (banded grads, cached over ci)
     sem,
     *,
     d_max: int,
@@ -218,9 +217,12 @@ def _bwd_fm0_kernel(
     )
     dma.start()
     acc[...] = jnp.zeros_like(acc)
+    dma.wait()
 
     h0 = hi * tile_h
     w8 = halo.shape[1]
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (w, w8), 0)
+    vcol = jax.lax.broadcasted_iota(jnp.int32, (w, w8), 1)
 
     # MXU formulation: scatter the (2d) gradient planes for this row
     # displacement into a banded matrix Gb[t, j, v] (v = j + dj), then ONE
@@ -229,39 +231,24 @@ def _bwd_fm0_kernel(
     # banded scatter is pure placement (disjoint bands), so for bf16
     # features gb builds directly in bf16: half the VPU work and no
     # separate pre-matmul cast. f32 oracles keep the f32 build.
-    #
-    # The scatter is CHANNEL-INDEPENDENT, and the 16 masked passes per row
-    # displacement are this kernel's dominant VPU cost -- so the banded
-    # matrices are built ONCE per (b, hi) into gb_all and reused across the
-    # sequential channel-block revisits (ci is the innermost grid dim): at
-    # c5 (2048 ch / 1024 blocks) this halves the scatter work.
     bf16 = fm1_ref.dtype == jnp.bfloat16
     ext_t = jnp.bfloat16 if bf16 else jnp.float32
 
-    @pl.when(ci == 0)
-    def _():
-        jcol = jax.lax.broadcasted_iota(jnp.int32, (w, w8), 0)
-        vcol = jax.lax.broadcasted_iota(jnp.int32, (w, w8), 1)
-        for di in range(2 * d_max):
-            rmask = None
-            if stride > 1:
-                rmask = _row_mask(h0, tile_h, h, di - d_max, d_max, stride)
-            gb = jnp.zeros((tile_h, w, w8), ext_t)
-            for dj in range(2 * d_max):
-                g = g_ref[0, di * k + dj].astype(jnp.float32)  # (TH, W)
-                if stride > 1:
-                    g = g * rmask
-                    g = g * _col_mask(w, dj - d_max, d_max, stride)
-                bm = (vcol == jcol + dj).astype(ext_t)  # (W, W8)
-                gb = gb + bm[None] * g[:, :, None].astype(ext_t)
-            gb_all[di] = gb
-
-    dma.wait()
-
     def body(di, _):
         rows = halo[pl.ds(di, tile_h)]  # (TH, W8, CB)
+        rmask = None
+        if stride > 1:
+            rmask = _row_mask(h0, tile_h, h, di - d_max, d_max, stride)
+        gb = jnp.zeros((tile_h, w, w8), ext_t)
+        for dj in range(2 * d_max):
+            g = g_ref[0, di * k + dj].astype(jnp.float32)  # (TH, W)
+            if stride > 1:
+                g = g * rmask
+                g = g * _col_mask(w, dj - d_max, d_max, stride)
+            bm = (vcol == jcol + dj).astype(ext_t)  # (W, W8)
+            gb = gb + bm[None] * g[:, :, None].astype(ext_t)
         acc[...] += jax.lax.dot_general(
-            gb_all[di],
+            gb,
             rows if bf16 else rows.astype(jnp.float32),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -393,7 +380,6 @@ def _bwd_fm1_single_tile_kernel(
     fm0_ref,  # (1, TH, W, CB) VMEM (pipeline block)
     out_ref,  # (1, TH, W, CB) VMEM
     acc,  # (TH + 2d, W2D8, CB) f32 VMEM scratch (target apron)
-    gb_all,  # (2d, TH, W, W2D8) VMEM scratch (banded grads, cached over ci)
     *,
     d_max: int,
     stride: int,
@@ -410,45 +396,35 @@ def _bwd_fm1_single_tile_kernel(
     against FM0 on the MXU, and accumulate into target rows t + di of an
     apron'd scratch. No halo DMAs, no unrolled displacement products -- the
     dynamic row index lands on the scratch's untiled leading dim.
-
-    Like _bwd_fm0_kernel, the banded scatter (this kernel's dominant VPU
-    cost) is channel-independent: it is built once per (b, hi) on the first
-    channel block and reused across the sequential ci revisits.
     """
-    ci = pl.program_id(2)
     k = 2 * d_max + 1
     th = tile_h
     w2d8 = acc.shape[1]
 
     f0 = fm0_ref[0]  # (TH, W, CB)
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (w, w2d8), 0)
+    vcol = jax.lax.broadcasted_iota(jnp.int32, (w, w2d8), 1)
 
     acc[...] = jnp.zeros_like(acc)
 
     bf16 = f0.dtype == jnp.bfloat16
     ext_t = jnp.bfloat16 if bf16 else jnp.float32
 
-    @pl.when(ci == 0)
-    def _():
-        jrow = jax.lax.broadcasted_iota(jnp.int32, (w, w2d8), 0)
-        vcol = jax.lax.broadcasted_iota(jnp.int32, (w, w2d8), 1)
-        for di in range(2 * d_max):
-            gb = jnp.zeros((th, w, w2d8), ext_t)
-            rmask = None
-            if stride > 1:
-                rmask = _row_mask(0, th, h, di - d_max, d_max, stride)
-            for dj in range(2 * d_max):
-                g = g_ref[0, di * k + dj].astype(jnp.float32)  # at source
-                if stride > 1:
-                    g = g * rmask
-                    g = g * _col_mask(w, dj - d_max, d_max, stride)
-                # target col v = j + dj (apron origin: v == q + d)
-                bm = (vcol == jrow + dj).astype(ext_t)  # (W, W2D8)
-                gb = gb + bm[None] * g[:, :, None].astype(ext_t)
-            gb_all[di] = gb
-
     def body(di, _):
+        gb = jnp.zeros((th, w, w2d8), ext_t)
+        rmask = None
+        if stride > 1:
+            rmask = _row_mask(0, th, h, di - d_max, d_max, stride)
+        for dj in range(2 * d_max):
+            g = g_ref[0, di * k + dj].astype(jnp.float32)  # (TH, W) at source
+            if stride > 1:
+                g = g * rmask
+                g = g * _col_mask(w, dj - d_max, d_max, stride)
+            # target col v = j + dj (apron origin: v == q + d)
+            bm = (vcol == jrow + dj).astype(ext_t)  # (W, W2D8)
+            gb = gb + bm[None] * g[:, :, None].astype(ext_t)
         contrib = jax.lax.dot_general(
-            gb_all[di],
+            gb,
             f0 if bf16 else f0.astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -593,8 +569,6 @@ def _corr_bwd_pallas(fm0, fm1, g, d_max, stride, interpret):
     common = dict(
         d_max=d_max, stride=stride, tile_h=tile_h, h=h, w=w, c_blk=c_blk
     )
-    # banded-scatter cache dtype matches the kernels' extraction dtype
-    ext_t = jnp.bfloat16 if fm0.dtype == jnp.bfloat16 else jnp.float32
 
     dfm0 = pl.pallas_call(
         functools.partial(_bwd_fm0_kernel, **common),
@@ -616,7 +590,6 @@ def _corr_bwd_pallas(fm0, fm1, g, d_max, stride, interpret):
         scratch_shapes=[
             pltpu.VMEM((tile_h + 2 * d_max, w8, c_blk), fm1.dtype),
             pltpu.VMEM((tile_h, w, c_blk), jnp.float32),
-            pltpu.VMEM((2 * d_max, tile_h, w, w8), ext_t),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -654,7 +627,6 @@ def _corr_bwd_pallas(fm0, fm1, g, d_max, stride, interpret):
             out_shape=jax.ShapeDtypeStruct((b, hp, w, cp), fm1.dtype),
             scratch_shapes=[
                 pltpu.VMEM((tile_h + 2 * d_max, w2d8, c_blk), jnp.float32),
-                pltpu.VMEM((2 * d_max, tile_h, w, w2d8), ext_t),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024

@@ -33,6 +33,15 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+# persistent compilation cache: the workers compile a joint train step from
+# scratch in a fresh process; under a loaded 1-core full-suite run that cold
+# compile can approach the parent's wait bound (the r3 order-dependent
+# "flake" signature -- passes alone, times out mid-suite). A warm cache
+# makes the repeat compiles near-free.
+from detect_to_track_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 # the env var alone is not honored when a TPU PJRT plugin is installed
 # (same workaround as tests/conftest.py); the rest must be set BEFORE
 # distributed.initialize creates the backend.

@@ -57,12 +57,25 @@ def _spawn(nprocs, tmp_path, mode):
                     stderr=subprocess.STDOUT,
                 )
             )
-        for p in procs:
-            p.wait(timeout=600)
+        timed_out = False
+        try:
+            for p in procs:
+                p.wait(timeout=900)
+        except subprocess.TimeoutExpired:
+            timed_out = True  # fail with the logs below, not a bare -9
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    if timed_out:
+        tails = "\n".join(
+            f"--- proc{i} ---\n{log.read_text()[-2000:]}"
+            for i, log in enumerate(logs)
+        )
+        raise AssertionError(
+            f"multihost worker exceeded the 900s wait bound (host "
+            f"overloaded or a hung collective); worker logs:\n{tails}"
+        )
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log.read_text()[-4000:]}"
     return [np.load(tmp_path / f"proc{i}.npz") for i in range(nprocs)]
