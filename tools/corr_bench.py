@@ -26,16 +26,7 @@ D_MAX, STRIDE = 8, 1
 H, W = 38, 75
 B = 8
 
-def chain_time(make_out, x, n=20):
-    """chained timing: each iteration's scalar folds into the carry."""
-    def body(carry, _):
-        s = make_out(x + carry)  # scalar
-        return carry + 1e-30 * s.astype(carry.dtype), None
-    g = jax.jit(lambda x0: jax.lax.scan(body, jnp.zeros((), x.dtype), None, length=n)[0])
-    g(x).block_until_ready()
-    t0 = time.perf_counter()
-    g(x).block_until_ready()
-    return (time.perf_counter() - t0) / n * 1e3
+from _timing import chain_time_ms as chain_time  # noqa: E402
 
 rng = np.random.RandomState(0)
 for c in (512, 1024, 2048):

@@ -17,23 +17,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def chain_time(fn, x, n=20):
-    import jax
-    import jax.numpy as jnp
-
-    def body(carry, _):
-        s = fn(x + carry)  # scalar
-        return carry + 1e-30 * s.astype(carry.dtype), None
-
-    g = jax.jit(
-        lambda x0: jax.lax.scan(
-            body, jnp.zeros((), x.dtype), None, length=n
-        )[0]
-    )
-    g(x).block_until_ready()
-    t0 = time.perf_counter()
-    g(x).block_until_ready()
-    return (time.perf_counter() - t0) / n * 1e3
+from _timing import chain_time_ms as chain_time  # noqa: E402
 
 
 def main() -> None:

@@ -31,7 +31,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunks", type=int, nargs="+", default=[4, 8, 16, 32])
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--inner", type=int, default=3)
+    ap.add_argument("--inner", type=int, default=5)
     ap.add_argument("--trace", action="store_true")
     ap.add_argument(
         "--stages",
@@ -128,6 +128,55 @@ def main() -> None:
         "clip": run_clip,
     }
 
+    def chain_time(fn, window, n, reps):
+        """per-iteration device time of fn, measured honestly through the
+        axon remote tunnel. Three hazards, each observed on this link:
+
+        1. dispatch is fire-and-forget AND ``block_until_ready`` is a NO-OP
+           (~0.1 ms on a program whose execution takes >100 ms) -- only a
+           value FETCH (``float(...)``) waits for execution;
+        2. identical (executable, args) re-dispatches can be served from a
+           cache -- every timed call gets a distinct c0 scalar operand;
+        3. closure-captured arrays inline as HLO constants and blow the
+           remote-compile body limit (HTTP 413) -- operands are explicit
+           jit arguments.
+
+        The fn calls are chained through a lax.scan (each iteration's
+        scalar summary perturbs the next input), and the fetch RTT /
+        per-call fixed overhead is cancelled by a two-point slope: time a
+        1-iteration chain and a (1+n)-iteration chain, per-iter =
+        (t_big - t_small) / n."""
+
+        def g_fn(c0, v, x, a, length):
+            def body(carry, _):
+                out = fn(v, x * (1.0 + carry), a)
+                s = sum(
+                    jnp.sum(t).astype(jnp.float32)
+                    for t in jax.tree_util.tree_leaves(out)
+                )
+                return carry + 1e-30 * s, None
+
+            return jax.lax.scan(body, c0, None, length=length)[0]
+
+        g = jax.jit(g_fn, static_argnums=4)
+        c0s = [
+            jax.device_put(np.float32(1e-8 * i)) for i in range(2 * reps + 2)
+        ]
+        jax.block_until_ready(c0s)
+        ci = iter(c0s)
+        # compile both lengths; fetch drains the device queue.
+        float(g(next(ci), variables, window, anchors, 1))
+        float(g(next(ci), variables, window, anchors, 1 + n))
+        ds = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(g(next(ci), variables, window, anchors, 1))
+            t1 = time.perf_counter()
+            float(g(next(ci), variables, window, anchors, 1 + n))
+            t2 = time.perf_counter()
+            ds.append(((t2 - t1) - (t1 - t0)) / n)
+        return float(np.median(ds))
+
     rng = np.random.RandomState(0)
     rows = []
     for chunk in args.chunks:
@@ -135,17 +184,7 @@ def main() -> None:
             rng.rand(chunk, h, w, 3).astype(np.float32)
         )
         for name in args.stages:
-            fn = jax.jit(stages[name])
-            out = fn(variables, window, anchors)
-            jax.block_until_ready(out)
-            reps = []
-            for _ in range(args.reps):
-                t0 = time.perf_counter()
-                for _ in range(args.inner):
-                    out = fn(variables, window, anchors)
-                jax.block_until_ready(out)
-                reps.append((time.perf_counter() - t0) / args.inner)
-            dt = float(np.median(reps))
+            dt = chain_time(stages[name], window, args.inner, args.reps)
             row = {
                 "stage": name,
                 "chunk": chunk,

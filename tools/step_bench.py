@@ -73,15 +73,23 @@ def main() -> None:
 
     t0 = time.perf_counter()
     state, dtl = step(state, batch)
-    jax.block_until_ready(state.params)
+    # dispatch through the tunnel is async and block_until_ready is a NO-OP
+    # (tools/_timing.py); only a value fetch waits. float(state.step)
+    # depends on every enqueued step, so it both syncs and drains.
+    float(state.step)
     print(f"compile+first step: {time.perf_counter() - t0:.0f} s", flush=True)
 
+    def timed(state, k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            state, _ = step(state, batch)
+        float(state.step)
+        return time.perf_counter() - t0, state
+
     n = 10
-    t0 = time.perf_counter()
-    for _ in range(n):
-        state, dtl = step(state, batch)
-    jax.block_until_ready(state.params)
-    dt = (time.perf_counter() - t0) / n * 1e3
+    t1, state = timed(state, 1)
+    tb, state = timed(state, 1 + n)
+    dt = (tb - t1) / n * 1e3
     tag = "s2d" if s2d else "plain"
     print(
         f"train step b{bs} [{tag}]: {dt:.1f} ms = {bs / dt * 1e3:.1f} pairs/s",
