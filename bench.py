@@ -14,13 +14,25 @@ The reference publishes no numbers (BASELINE.md), so vs_baseline is the
 ratio against the prior recorded round (BENCH_r*.json) when present, else
 1.0. Secondary numbers (correlation kernel time, inference pairs/sec) are
 included as extra keys.
+
+All device timings follow the chained-scan slope discipline
+(tools/_timing.py; PERF.md "Timing through the remote tunnel"): on the
+axon link block_until_ready is a no-op and identical dispatches can be
+cache-replayed, so every measurement chains dependent work, ends in a
+value fetch, and reports a two-point slope that cancels the fetch RTT.
+Secondary metrics run under D2T_BENCH_BUDGET_S (default 1800 s) and are
+emitted as null when skipped, so the headline line always prints.
 """
 
 import glob
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
@@ -65,17 +77,59 @@ def main() -> None:
         params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)
     )
 
-    # warmup / compile
+    # TIMING DISCIPLINE (PERF.md "Timing through the remote tunnel"): on
+    # the axon link, dispatch is fire-and-forget and block_until_ready is
+    # a NO-OP -- only a value fetch synchronizes. Every measurement below
+    # is therefore a two-point slope of dependency-chained work ending in
+    # a scalar fetch: per-iter = (t[1+n] - t[1]) / n, which also cancels
+    # the fetch RTT. The donated train state evolves every step, so the
+    # repeated-step chain is naturally dependency-linked and
+    # cache-replay-proof; the forward-only metrics chain through
+    # tools/_timing.chain_time_ms (a lax.scan whose carry perturbs each
+    # iteration's input).
+    from tools._timing import chain_time_ms
+
+    # warmup / compile; float(state.step) depends on everything enqueued,
+    # so it both syncs and drains.
     state, dtl = step(state, batch)
-    jax.block_until_ready(state.params)
+    float(state.step)
+
+    def timed_steps(state, k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            state, _ = step(state, batch)
+        float(state.step)
+        return time.perf_counter() - t0, state
 
     n_steps = 10
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, dtl = step(state, batch)
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
-    pairs_per_sec = cfg.BATCH_SIZE * n_steps / dt
+    ds = []
+    for _ in range(3):
+        t1, state = timed_steps(state, 1)
+        tb, state = timed_steps(state, 1 + n_steps)
+        ds.append((tb - t1) / n_steps)
+    dt_step = float(np.median(ds))
+    pairs_per_sec = cfg.BATCH_SIZE / dt_step
+
+    # secondary metrics run under a time budget so the headline JSON line
+    # always prints, even on days the remote-compile tunnel is slow
+    # (single-graph compiles have been observed to take 20+ min). A skipped
+    # or failed secondary is emitted as null -- never a crash or a silent
+    # hang past the driver's bound.
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("D2T_BENCH_BUDGET_S", "1800"))
+
+    def _secondary(fn, label):
+        if time.perf_counter() - t_start > budget_s:
+            print(
+                f"# bench: skipping {label} (over {budget_s:.0f}s budget)",
+                file=sys.stderr,
+            )
+            return None
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 -- headline must still print
+            print(f"# bench: {label} failed: {e!r}", file=sys.stderr)
+            return None
 
     # secondary: correlation kernel forward time at the c4 working shape
     from detect_to_track_tpu.ops import pointwise_correlation
@@ -85,45 +139,62 @@ def main() -> None:
         .rand(2, cfg.fm_shape[0], cfg.fm_shape[1], 512)
         .astype(np.float32)
     )
-    corr = jax.jit(lambda a, b: pointwise_correlation(a, b, cfg.D_MAX, 1))
-    corr(fm, fm).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(50):
-        out = corr(fm, fm)
-    out.block_until_ready()
-    corr_ms = (time.perf_counter() - t0) / 50 * 1e3
+    corr_ms = _secondary(
+        lambda: chain_time_ms(
+            lambda v: jnp.sum(pointwise_correlation(v, v, cfg.D_MAX, 1)),
+            fm,
+            n=30,
+        ),
+        "correlation_fwd",
+    )
 
-    # secondary: single-pair inference LATENCY (20 sequential dispatches --
-    # a latency number, not throughput; see batched_inference below).
     from detect_to_track_tpu.anchors import build_anchors
     from detect_to_track_tpu.inference import detect_pair, detect_pairs_batched
-    import functools
 
     anchors = jnp.asarray(
         build_anchors(cfg.fm_shape, cfg.ANCHOR_AREAS, cfg.ANCHOR_ASPECT_RATIOS)
     )
+
+    def _leafsum(out):
+        return sum(
+            jnp.sum(t).astype(jnp.float32)
+            for t in jax.tree_util.tree_leaves(out)
+        )
+
+    # single-pair inference: per-dispatch device time (a LATENCY proxy --
+    # the scan runs pairs back-to-back, so this is the sequential
+    # one-pair-per-call service rate, the reference's only serving mode,
+    # inference.py:54).
     images = jax.device_put(batch.images[0])
-    infer = jax.jit(functools.partial(detect_pair, model, cfg=cfg))
-    out = infer(variables, images, anchors)
-    jax.block_until_ready(out.boxes)
-    t0 = time.perf_counter()
-    for _ in range(20):
-        out = infer(variables, images, anchors)
-    jax.block_until_ready(out.boxes)
-    infer_pairs_per_sec = 20 / (time.perf_counter() - t0)
+    pair_ms = _secondary(
+        lambda: chain_time_ms(
+            lambda x, v, a: _leafsum(detect_pair(model, v, x, a, cfg=cfg)),
+            images,
+            n=10,
+            extra=(variables, anchors),
+        ),
+        "single_pair_inference",
+    )
+    infer_pairs_per_sec = 1e3 / pair_ms if pair_ms else None
 
     # serving THROUGHPUT: detect_pairs_batched at the train batch size,
-    # pre-staged on device, back-to-back dispatches (VERDICT r3 next #1 --
-    # the reference can only run one pair per call, inference.py:54).
-    infer_b = jax.jit(functools.partial(detect_pairs_batched, model, cfg=cfg))
+    # pre-staged on device (VERDICT r3 next #1 -- the reference can only
+    # run one pair per call).
     pair_images = jax.device_put(batch.images)  # (P, 2, H, W, C)
-    out = infer_b(variables, pair_images, anchors)
-    jax.block_until_ready(out.boxes)
-    t0 = time.perf_counter()
-    for _ in range(10):
-        out = infer_b(variables, pair_images, anchors)
-    jax.block_until_ready(out.boxes)
-    batched_infer_pps = cfg.BATCH_SIZE * 10 / (time.perf_counter() - t0)
+    batched_ms = _secondary(
+        lambda: chain_time_ms(
+            lambda x, v, a: _leafsum(
+                detect_pairs_batched(model, v, x, a, cfg=cfg)
+            ),
+            pair_images,
+            n=10,
+            extra=(variables, anchors),
+        ),
+        "batched_inference",
+    )
+    batched_infer_pps = (
+        cfg.BATCH_SIZE * 1e3 / batched_ms if batched_ms else None
+    )
 
     # secondary: full-clip tracking (batched pair detection + native
     # Viterbi linking) -- BASELINE config 5.
@@ -135,42 +206,56 @@ def main() -> None:
         np.asarray(batch.images[i % cfg.BATCH_SIZE, i % 2], np.float32)
         for i in range(9)
     ]
-    tracker = ClipTracker(detector, min_len=1, frame_chunk=8)
-    tracker(clip)  # compile
-    reps = []
-    for _ in range(5):  # median of 5: single-shot numbers drifted ~10%
-        t0 = time.perf_counter()
-        tracker(clip)
-        reps.append(len(clip) / (time.perf_counter() - t0))
-    clip_fps = float(np.median(reps))
-    clip_upload_ms = tracker.last_upload_s * 1e3  # host enqueue cost
+
+    def _clip_tracking():
+        tracker = ClipTracker(detector, min_len=1, frame_chunk=8)
+        tracker(clip)  # compile
+        # end-to-end wall clock is honest here: the tracker materializes
+        # its tubelets to host numpy, which is a value fetch (the only
+        # sync that works on this link). Each rep perturbs the frames so
+        # the tunnel's result cache cannot replay the previous rep's
+        # dispatches.
+        rng_c = np.random.RandomState(1)
+        reps = []
+        for _ in range(5):  # median of 5: single-shot drifted ~10%
+            jit_clip = [
+                np.clip(f + rng_c.uniform(0, 1e-3), 0.0, 1.0) for f in clip
+            ]
+            t0 = time.perf_counter()
+            tracker(jit_clip)
+            reps.append(len(clip) / (time.perf_counter() - t0))
+        return float(np.median(reps)), tracker.last_upload_s * 1e3
+
+    r = _secondary(_clip_tracking, "clip_tracking")
+    clip_fps, clip_upload_ms = r if r else (None, None)
 
     # device-side-only clip rate (window pre-uploaded): separates the jitted
     # per-chunk compute from the tunnel's host->device frame uploads.
     # Swept over chunk sizes (forward-only activations allow far larger
-    # chunks than the old default of 4); best chunk + median of 5 reported.
-    clip_device_fps, clip_device_chunk = 0.0, 0
+    # chunks than the old default of 4); best chunk reported.
+    from detect_to_track_tpu.inference import detect_clip
+
+    clip_device_fps, clip_device_chunk = None, None
     frames16 = np.stack([clip[i % len(clip)] for i in range(16)])
     for chunk in (8, 16):
         window = jax.device_put(frames16[:chunk])
-        out = detector.detect_clip(window)
-        jax.block_until_ready(out.boxes)
-        reps = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            for _ in range(3):
-                out = detector.detect_clip(window)
-            jax.block_until_ready(out.boxes)
-            reps.append(3 * chunk / (time.perf_counter() - t0))
-        fps = float(np.median(reps))
-        if fps > clip_device_fps:
-            clip_device_fps, clip_device_chunk = fps, chunk
+        ms = _secondary(
+            lambda: chain_time_ms(
+                lambda x, v, a: _leafsum(
+                    detect_clip(model, v, x, a, cfg=cfg)
+                ),
+                window,
+                n=8,
+                extra=(variables, anchors),
+            ),
+            f"clip_device_chunk{chunk}",
+        )
+        if ms and (not clip_device_fps or chunk * 1e3 / ms > clip_device_fps):
+            clip_device_fps, clip_device_chunk = chunk * 1e3 / ms, chunk
 
     # baseline ratio: previous recorded round, if any. The prior config is
     # recorded alongside so a batch-size change is visible in the ratio
     # (ADVICE r2: don't conflate config changes with code speedups).
-    import os
-
     prev, prev_config = None, None
     # anchored to this file, not cwd: running bench from another directory
     # must not silently lose the baseline (vs_baseline=1.0 would misreport
@@ -187,6 +272,9 @@ def main() -> None:
             pass
     vs = pairs_per_sec / prev if prev else 1.0
 
+    def _r(v, k=3):
+        return round(v, k) if v is not None else None
+
     print(
         json.dumps(
             {
@@ -194,13 +282,13 @@ def main() -> None:
                 "value": round(pairs_per_sec, 3),
                 "unit": "pairs/s",
                 "vs_baseline": round(vs, 3),
-                "inference_pairs_per_sec": round(infer_pairs_per_sec, 3),
-                "batched_inference_pairs_per_sec": round(batched_infer_pps, 3),
-                "clip_tracking_fps": round(clip_fps, 3),
-                "clip_device_fps": round(clip_device_fps, 3),
+                "inference_pairs_per_sec": _r(infer_pairs_per_sec),
+                "batched_inference_pairs_per_sec": _r(batched_infer_pps),
+                "clip_tracking_fps": _r(clip_fps),
+                "clip_device_fps": _r(clip_device_fps),
                 "clip_device_chunk": clip_device_chunk,
-                "clip_upload_ms": round(clip_upload_ms, 2),
-                "correlation_fwd_ms_c4": round(corr_ms, 4),
+                "clip_upload_ms": _r(clip_upload_ms, 2),
+                "correlation_fwd_ms_c4": _r(corr_ms, 4),
                 "device": str(jax.devices()[0]),
                 "config": f"608x1200 resnet50 b{cfg.BATCH_SIZE} bf16 d_max=8 k=7",
                 "vs_baseline_config": prev_config,

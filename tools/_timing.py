@@ -25,38 +25,41 @@ import time
 import numpy as np
 
 
-def chain_time_ms(make_scalar, x, n=20, reps=3):
+def chain_time_ms(make_scalar, x, n=20, reps=3, extra=()):
     """median per-iteration milliseconds of ``make_scalar(x_perturbed)``.
 
-    make_scalar: maps an array shaped like ``x`` to a SCALAR (e.g.
-    ``lambda v: kernel(v).mean()``); it is traced inside a scan whose carry
-    perturbs the input each iteration.
+    make_scalar: maps an array shaped like ``x`` (plus ``extra`` operands,
+    passed through untouched as explicit jit arguments — hazard 3) to a
+    SCALAR (e.g. ``lambda v: kernel(v).mean()``); it is traced inside a
+    scan whose carry perturbs the input each iteration.
     """
     import jax
     import jax.numpy as jnp
 
-    def g_fn(c0, xx, length):
+    def g_fn(c0, xx, *rest_and_length):
+        rest, length = rest_and_length[:-1], rest_and_length[-1]
+
         def body(carry, _):
             # cast the perturbation back to x's dtype: a f32 carry would
             # otherwise promote a bf16 workload to f32 and time the wrong
             # kernel.
-            s = make_scalar(xx * (1.0 + carry).astype(xx.dtype))
+            s = make_scalar(xx * (1.0 + carry).astype(xx.dtype), *rest)
             return carry + 1e-30 * s.astype(jnp.float32), None
 
         return jax.lax.scan(body, c0, None, length=length)[0]
 
-    g = jax.jit(g_fn, static_argnums=2)
+    g = jax.jit(g_fn, static_argnums=2 + len(extra))
     c0s = [jax.device_put(np.float32(i * 1e-8)) for i in range(2 * reps + 2)]
     jax.block_until_ready(c0s)  # harmless if no-op; c0s are tiny
     ci = iter(c0s)
-    float(g(next(ci), x, 1))  # compile + drain
-    float(g(next(ci), x, 1 + n))
+    float(g(next(ci), x, *extra, 1))  # compile + drain
+    float(g(next(ci), x, *extra, 1 + n))
     ds = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(g(next(ci), x, 1))
+        float(g(next(ci), x, *extra, 1))
         t1 = time.perf_counter()
-        float(g(next(ci), x, 1 + n))
+        float(g(next(ci), x, *extra, 1 + n))
         t2 = time.perf_counter()
         ds.append(((t2 - t1) - (t1 - t0)) / n)
     return float(np.median(ds)) * 1e3
