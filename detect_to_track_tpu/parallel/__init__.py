@@ -2,6 +2,7 @@
 single-GPU -- SURVEY.md §2 #26; this layer is what the TPU build adds)."""
 
 from .mesh import (
+    barrier_sync,
     local_value,
     make_mesh,
     make_parallel_detect,

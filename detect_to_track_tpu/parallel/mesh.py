@@ -90,6 +90,38 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
 from ..utils import host_value as local_value  # noqa: E402
 
 
+def barrier_sync(name: str = "d2t_barrier", timeout_ms: int = 600_000) -> None:
+    """re-synchronize all processes through the COORDINATOR's key-value
+    service (generous timeout) -- NOT through a device collective.
+
+    Why this exists: XLA's CPU gloo context initialization performs its
+    rendezvous through the distributed KV store with a hard ~30 s deadline
+    (observed: "Gloo context initialization failed: DEADLINE_EXCEEDED:
+    GetKeyValue() timed out ... 29.99s", TESTING.md). Each process compiles
+    its programs independently, and per-process compile times skew by far
+    more than 30 s on a loaded host (or a cold compilation cache), so the
+    fastest process can enter the first collective dispatch -- and start
+    the gloo rendezvous clock -- minutes before the slowest. Call this
+    AFTER compiling (jit(...).lower(args).compile()) and BEFORE the first
+    dispatch, so all processes begin gloo init within milliseconds.
+
+    No-op single-process or when no distributed client is active; a
+    coordinator without barrier support degrades to a warning, never a
+    crash (the caller's dispatch then simply takes its chances)."""
+    if jax.process_count() <= 1:
+        return
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        if client is not None:
+            client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+    except Exception as e:  # noqa: BLE001 -- best-effort sync, never fatal
+        import warnings
+
+        warnings.warn(f"barrier_sync({name!r}) unavailable: {e!r}")
+
+
 def make_parallel_train_step(
     model, cfg: Config, tx, mesh: Mesh, axis: str = "data"
 ) -> Callable:

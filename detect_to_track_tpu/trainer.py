@@ -730,6 +730,34 @@ class DetectTrackTrainer:
             pending = nxt_dev
             yield batch
 
+    def _warm_collectives(self, batch) -> None:
+        """multi-process only: AOT-compile the parallel train step, then
+        re-sync every process through the coordinator barrier BEFORE the
+        first collective dispatch.
+
+        XLA's CPU gloo context init runs its rendezvous through the
+        distributed KV store with a hard ~30 s deadline, while per-process
+        compile times skew minutes on a loaded host or cold cache -- the
+        fast process would start (and time out) the rendezvous long before
+        the slow one arrives (parallel.barrier_sync; TESTING.md "gloo
+        rendezvous deadline"). The jitted step is replaced by its own AOT
+        executable so the compile is not paid twice; shapes are static by
+        design, so the executable serves every later batch. One-shot per
+        process: once ANY collective program establishes the gloo context,
+        every later program (eval step, watchdog all-reduce, collective
+        checkpoint) reuses it."""
+        if getattr(self, "_collectives_warm", False):
+            return
+        self._collectives_warm = True
+        if getattr(self, "mesh", None) is None or jax.process_count() <= 1:
+            return
+        from .parallel import barrier_sync
+
+        self._train_step = self._train_step.lower(
+            self.state, batch
+        ).compile()
+        barrier_sync("d2t_first_collective")
+
     def train(self) -> DTLoss:
         trn_loss = DTLoss()
         trace_ctx = None
@@ -746,6 +774,7 @@ class DetectTrackTrainer:
                 # select in make_train_step) -- the host only skips the
                 # metric accumulation; it never holds a stale reference to
                 # donated buffers.
+                self._warm_collectives(batch)
                 self.state, dtl = self._train_step(self.state, batch)
                 dtl = self._host(dtl)
                 skipped = (

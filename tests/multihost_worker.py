@@ -125,8 +125,17 @@ def main() -> None:
     mesh = make_mesh(4 * nprocs)
     step = make_parallel_train_step(model, cfg, tx, mesh)
     state = replicate(state, mesh)
+    sharded = shard_batch(local, mesh)
+    # AOT-compile, THEN coordinator-barrier, THEN dispatch: per-process
+    # compile skew on a loaded host exceeds gloo's ~30 s KV rendezvous
+    # deadline (the order-dependent full-suite flake -- TESTING.md "gloo
+    # rendezvous deadline"). Same discipline as trainer._warm_collectives.
+    from detect_to_track_tpu.parallel import barrier_sync
+
+    step_c = step.lower(state, sharded).compile()
+    barrier_sync("worker_first_collective")
     for _ in range(2):
-        state, dtl = step(state, shard_batch(local, mesh))
+        state, dtl = step_c(state, shard_batch(local, mesh))
 
     params = local_value(state.params)
     leaves = jax.tree_util.tree_leaves_with_path(params)
