@@ -730,10 +730,12 @@ class DetectTrackTrainer:
             pending = nxt_dev
             yield batch
 
-    def _warm_collectives(self, batch) -> None:
-        """multi-process only: AOT-compile the parallel train step, then
-        re-sync every process through the coordinator barrier BEFORE the
-        first collective dispatch.
+    def _warm_collectives(self, kind: str, batch) -> None:
+        """multi-process only: AOT-compile the first-dispatched collective
+        step (train OR eval -- whichever entry point runs first; a
+        resume-from-autosave with val_pending enters through validate()),
+        then re-sync every process through the coordinator barrier BEFORE
+        the first collective dispatch.
 
         XLA's CPU gloo context init runs its rendezvous through the
         distributed KV store with a hard ~30 s deadline, while per-process
@@ -742,21 +744,33 @@ class DetectTrackTrainer:
         the slow one arrives (parallel.barrier_sync; TESTING.md "gloo
         rendezvous deadline"). The jitted step is replaced by its own AOT
         executable so the compile is not paid twice; shapes are static by
-        design, so the executable serves every later batch. One-shot per
-        process: once ANY collective program establishes the gloo context,
-        every later program (eval step, watchdog all-reduce, collective
-        checkpoint) reuses it."""
+        design, so the executable serves every later batch (a structurally
+        different batch is rejected by the executable with a named input
+        mismatch error -- pinned by
+        tests/test_parallel.py::test_warm_collectives_rejects_shape_drift).
+        One-shot per process: once ANY collective program establishes the
+        gloo context, every later program (the other step, watchdog
+        all-reduce, collective checkpoint) reuses it. The warm flag is set
+        only AFTER the barrier returns, so a failed compile is retried on
+        the next batch instead of silently leaving the 30 s deadline armed
+        (ADVICE r4)."""
         if getattr(self, "_collectives_warm", False):
             return
-        self._collectives_warm = True
         if getattr(self, "mesh", None) is None or jax.process_count() <= 1:
+            self._collectives_warm = True
             return
         from .parallel import barrier_sync
 
-        self._train_step = self._train_step.lower(
-            self.state, batch
-        ).compile()
+        if kind == "train":
+            self._train_step = self._train_step.lower(
+                self.state, batch
+            ).compile()
+        else:
+            self._eval_step = self._eval_step.lower(
+                self.state.params, batch
+            ).compile()
         barrier_sync("d2t_first_collective")
+        self._collectives_warm = True
 
     def train(self) -> DTLoss:
         trn_loss = DTLoss()
@@ -774,7 +788,7 @@ class DetectTrackTrainer:
                 # select in make_train_step) -- the host only skips the
                 # metric accumulation; it never holds a stale reference to
                 # donated buffers.
-                self._warm_collectives(batch)
+                self._warm_collectives("train", batch)
                 self.state, dtl = self._train_step(self.state, batch)
                 dtl = self._host(dtl)
                 skipped = (
@@ -850,6 +864,7 @@ class DetectTrackTrainer:
         self._in_validate = True
         try:
             for batch in self._device_batches(self.val_loader):
+                self._warm_collectives("eval", batch)
                 dtl = self._eval_step(self.state.params, batch)
                 val_loss = val_loss + self._host(dtl)
                 self._check_host_memory()
