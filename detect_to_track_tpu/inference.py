@@ -192,6 +192,21 @@ def detect_clip(
     )
 
     # tracker over all adjacent pairs, sharing the per-frame features.
+    #
+    # The optimization_barrier is LOAD-BEARING, not a hint: without it, the
+    # composed graph (shared per-frame features -> [:-1]/[1:] offset slices
+    # -> correlation tracker) miscompiles on TPU at F >= 8 and the dispatch
+    # KILLS the TPU worker ("kernel fault"; reproduced deterministically,
+    # round 4/5 -- tools/probe_clip.py --stage clip --chunk 8). Same
+    # backend bug family as the round-2 "pair-split + strided slice"
+    # fault (models/correlation_tracker.py:123-128). Every prefix of the
+    # pipeline runs clean at F=8, the tracker alone runs clean at batch 7,
+    # and this identity barrier (which only forces the feature maps to
+    # materialize before the slices instead of fusing across them) fixes
+    # the composition at F=8/16 with zero extra FLOPs -- all measured via
+    # subprocess probes (PERF.md "The chunk-8 clip fault").
+    fmaps_t = jax.lax.optimization_barrier(fmaps_t)
+    fm_reg = jax.lax.optimization_barrier(fm_reg)
     pyr0 = {k: v[:-1] for k, v in fmaps_t.items()}
     pyr1 = {k: v[1:] for k, v in fmaps_t.items()}
     tracks = model.apply(

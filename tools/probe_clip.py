@@ -123,6 +123,40 @@ def main() -> None:
         out = detect_clip(model, v, x, a, cfg=cfg)
         return jnp.sum(out.confs) + jnp.sum(out.boxes) + jnp.sum(out.tracks)
 
+    def run_clip_unfixed(v, x, a):
+        # the round-4 faulting composition, PRESERVED for regression
+        # probing: shared features -> [:-1]/[1:] slices -> tracker with NO
+        # optimization barrier (detect_clip's fix). Expected: kills the
+        # TPU worker at chunk >= 8 on the affected backend.
+        from detect_to_track_tpu.inference import _detect_frames
+
+        fmaps_t, fm_reg, confs, boxes, valid = _detect_frames(
+            model, v, x, a, cfg
+        )
+        pyr0 = {k: t[:-1] for k, t in fmaps_t.items()}
+        pyr1 = {k: t[1:] for k, t in fmaps_t.items()}
+        tracks = model.apply(
+            v, pyr0, pyr1, fm_reg[:-1], fm_reg[1:], boxes[:-1],
+            method="c_tracker",
+        )
+        return jnp.sum(confs) + jnp.sum(boxes) + jnp.sum(tracks)
+
+    def run_clip_barrier(v, x, a):
+        from detect_to_track_tpu.inference import _detect_frames
+
+        fmaps_t, fm_reg, confs, boxes, valid = _detect_frames(
+            model, v, x, a, cfg
+        )
+        fmaps_t = jax.lax.optimization_barrier(fmaps_t)
+        fm_reg = jax.lax.optimization_barrier(fm_reg)
+        pyr0 = {k: t[:-1] for k, t in fmaps_t.items()}
+        pyr1 = {k: t[1:] for k, t in fmaps_t.items()}
+        tracks = model.apply(
+            v, pyr0, pyr1, fm_reg[:-1], fm_reg[1:], boxes[:-1],
+            method="c_tracker",
+        )
+        return jnp.sum(confs) + jnp.sum(boxes) + jnp.sum(tracks)
+
     def run_clip_roll(v, x, a):
         from detect_to_track_tpu.inference import _detect_frames
 
@@ -144,6 +178,8 @@ def main() -> None:
         "rcnn": run_rcnn,
         "compact": run_compact,
         "clip": run_clip,
+        "clip_unfixed": run_clip_unfixed,
+        "clip_barrier": run_clip_barrier,
         "clip_roll": run_clip_roll,
     }
 
