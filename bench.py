@@ -106,6 +106,17 @@ def _wait_chip_recovery(bound_s: float = 600.0) -> bool:
 
 def main() -> None:
     import jax
+
+    # test hooks (tests/test_failure_paths.py::test_bench_*): D2T_BENCH_TINY
+    # runs the whole harness on a tiny CPU config so the containment
+    # properties (headline-first, faulting secondary -> named null) are
+    # testable without a chip; D2T_BENCH_FAULT=<label> makes that secondary
+    # raise at its start (fault injection).
+    tiny = bool(os.environ.get("D2T_BENCH_TINY"))
+    fault_label = os.environ.get("D2T_BENCH_FAULT", "")
+    if tiny:
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from detect_to_track_tpu.utils import enable_compilation_cache
@@ -126,8 +137,16 @@ def main() -> None:
     # default batch is 4 pairs (cfg/default.yaml); this chip sustains
     # higher throughput at larger batches (b4 44 / b8 50 / b16 52 pairs/s
     # measured), so the headline trains at b16.
-    cfg = Config(BATCH_SIZE=16)
-    model = DetectTrackModule.from_config(cfg)
+    if tiny:
+        cfg = Config(
+            N_CLASSES=4, BATCH_SIZE=2, INPUT_SHAPE=(64, 96), MAX_LABELS=4,
+            PRE_NMS_TOPK=16, MAX_ROIS=8, MAX_DETS=4, D_MAX=1, K=2,
+            COMPUTE_DTYPE="float32",
+        )
+        model = DetectTrackModule.from_config(cfg, corr_impl="xla")
+    else:
+        cfg = Config(BATCH_SIZE=16)
+        model = DetectTrackModule.from_config(cfg)
 
     manager = SyntheticVIDManager(
         n_samples=cfg.BATCH_SIZE, image_hw=cfg.INPUT_SHAPE,
@@ -243,6 +262,8 @@ def main() -> None:
             )
             return None
         try:
+            if fault_label and label.startswith(fault_label):
+                raise RuntimeError(f"injected fault ({fault_label})")
             return fn()
         except Exception as e:  # noqa: BLE001 -- enriched line must print
             print(f"# bench: {label} failed: {e!r}", file=sys.stderr)
@@ -355,11 +376,12 @@ def main() -> None:
     # cheap). A crashed probe records null and waits for worker recovery.
     clip_device_fps, clip_device_chunk = None, None
     frames16 = np.stack([clip[i % len(clip)] for i in range(16)])
-    for chunk in (4, 8, 16):
+    for chunk in (2, 4) if tiny else (4, 8, 16):
 
         def _one_chunk(chunk=chunk):
-            probe = _subproc_probe("clip", chunk)
-            if probe is None or probe.get("ok") is not True:
+            # tiny/CPU mode has no chip to wedge; skip the probe cost.
+            probe = None if tiny else _subproc_probe("clip", chunk)
+            if not tiny and (probe is None or probe.get("ok") is not True):
                 _wait_chip_recovery()
                 return None
             window = jax.device_put(frames16[:chunk])
