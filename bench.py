@@ -175,7 +175,7 @@ def main() -> None:
     # cache-replay-proof; the forward-only metrics chain through
     # tools/_timing.chain_time_ms (a lax.scan whose carry perturbs each
     # iteration's input).
-    from tools._timing import chain_time_ms
+    from tools._timing import chain_time_ms, dispatch_chain_time_ms
 
     # warmup / compile; float(state.step) depends on everything enqueued,
     # so it both syncs and drains.
@@ -303,9 +303,14 @@ def main() -> None:
     # the scan runs pairs back-to-back, so this is the sequential
     # one-pair-per-call service rate, the reference's only serving mode,
     # inference.py:54).
+    # serving graphs are timed by DISPATCH chaining (the production
+    # executable, repeated with dependency-chained inputs), not the scan
+    # wrapper: the scanned clip composition miscompiles and kills the TPU
+    # worker at chunk >= 8 (PERF.md "The chunk-8 clip fault"), and the
+    # scan is a different program than production serving anyway.
     def _pair():
         images = jax.device_put(batch.images[0])
-        return chain_time_ms(
+        return dispatch_chain_time_ms(
             lambda x, v, a: _leafsum(detect_pair(model, v, x, a, cfg=cfg)),
             images,
             n=10,
@@ -320,7 +325,7 @@ def main() -> None:
     # run one pair per call).
     def _batched():
         pair_images = jax.device_put(batch.images)  # (P, 2, H, W, C)
-        return chain_time_ms(
+        return dispatch_chain_time_ms(
             lambda x, v, a: _leafsum(
                 detect_pairs_batched(model, v, x, a, cfg=cfg)
             ),
@@ -385,7 +390,7 @@ def main() -> None:
                 _wait_chip_recovery()
                 return None
             window = jax.device_put(frames16[:chunk])
-            return chain_time_ms(
+            return dispatch_chain_time_ms(
                 lambda x, v, a: _leafsum(
                     detect_clip(model, v, x, a, cfg=cfg)
                 ),

@@ -63,3 +63,56 @@ def chain_time_ms(make_scalar, x, n=20, reps=3, extra=()):
         t2 = time.perf_counter()
         ds.append(((t2 - t1) - (t1 - t0)) / n)
     return float(np.median(ds)) * 1e3
+
+
+def dispatch_chain_time_ms(make_scalar, x, n=8, reps=3, extra=()):
+    """median per-dispatch milliseconds of the PRODUCTION executable of
+    ``make_scalar`` -- repeated real dispatches, chained through a tiny
+    on-device input update, ending in a value fetch; slope = (t[1+n
+    dispatches] - t[1]) / n.
+
+    Use this instead of ``chain_time_ms`` for large composed graphs: the
+    scan wrapper is a DIFFERENT program than production serving, and on
+    the TPU backend the scanned detect_clip composition miscompiles and
+    kills the worker at chunk >= 8 (rounds 4-5; single dispatches of the
+    same graph are clean -- PERF.md "The chunk-8 clip fault"). Dispatch
+    chaining times exactly the executable a serving caller runs.
+
+    Each iteration runs ONE jitted program that returns the scalar
+    summary AND the perturbed next input (x_{i+1} = x_i * (1 + 1e-30 *
+    s_i)), so iterations are dependency-chained (no tunnel result-cache
+    replay, no pipelined overlap being hidden) at the cost of one extra
+    HBM read+write of x per iteration (~0.2 ms at serving shapes --
+    subtract nothing: it is the same for both slope legs and cancels).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def g_fn(xx, *rest):
+        s = make_scalar(xx, *rest).astype(jnp.float32)
+        nxt = xx * (1.0 + 1e-30 * s).astype(xx.dtype)
+        return s, nxt
+
+    g = jax.jit(g_fn)
+
+    def run(k, x0):
+        s = None
+        xx = x0
+        t0 = time.perf_counter()
+        for _ in range(k):
+            s, xx = g(xx, *extra)
+        float(s)  # drains every queued dispatch
+        return time.perf_counter() - t0
+
+    # compile + drain (also stages x on device)
+    run(1, x)
+    ds = []
+    for _ in range(reps):
+        t1 = run(1, x)
+        tb = run(1 + n, x)
+        d = (tb - t1) / n
+        if d > 0:
+            ds.append(d)
+    if not ds:
+        raise RuntimeError("no positive slope sample in dispatch chain")
+    return float(np.median(ds)) * 1e3

@@ -44,6 +44,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from detect_to_track_tpu.utils import enable_compilation_cache
+    from tools._timing import dispatch_chain_time_ms
 
     enable_compilation_cache()
 
@@ -129,53 +130,27 @@ def main() -> None:
     }
 
     def chain_time(fn, window, n, reps):
-        """per-iteration device time of fn, measured honestly through the
-        axon remote tunnel. Three hazards, each observed on this link:
+        """per-dispatch device time of fn's PRODUCTION executable, via
+        tools._timing.dispatch_chain_time_ms (repeated real dispatches,
+        dependency-chained inputs, fetch-synced two-point slope).
 
-        1. dispatch is fire-and-forget AND ``block_until_ready`` is a NO-OP
-           (~0.1 ms on a program whose execution takes >100 ms) -- only a
-           value FETCH (``float(...)``) waits for execution;
-        2. identical (executable, args) re-dispatches can be served from a
-           cache -- every timed call gets a distinct c0 scalar operand;
-        3. closure-captured arrays inline as HLO constants and blow the
-           remote-compile body limit (HTTP 413) -- operands are explicit
-           jit arguments.
+        Formerly a lax.scan chain; the scanned detect_clip composition
+        miscompiles on this backend and kills the TPU worker at
+        chunk >= 8 (single dispatches of the same graph are clean --
+        PERF.md "The chunk-8 clip fault"), and the scan wrapper is a
+        different program than production serving dispatch anyway."""
 
-        The fn calls are chained through a lax.scan (each iteration's
-        scalar summary perturbs the next input), and the fetch RTT /
-        per-call fixed overhead is cancelled by a two-point slope: time a
-        1-iteration chain and a (1+n)-iteration chain, per-iter =
-        (t_big - t_small) / n."""
+        def make_scalar(x, v, a):
+            out = fn(v, x, a)
+            return sum(
+                jnp.sum(t).astype(jnp.float32)
+                for t in jax.tree_util.tree_leaves(out)
+            )
 
-        def g_fn(c0, v, x, a, length):
-            def body(carry, _):
-                out = fn(v, x * (1.0 + carry), a)
-                s = sum(
-                    jnp.sum(t).astype(jnp.float32)
-                    for t in jax.tree_util.tree_leaves(out)
-                )
-                return carry + 1e-30 * s, None
-
-            return jax.lax.scan(body, c0, None, length=length)[0]
-
-        g = jax.jit(g_fn, static_argnums=4)
-        c0s = [
-            jax.device_put(np.float32(1e-8 * i)) for i in range(2 * reps + 2)
-        ]
-        jax.block_until_ready(c0s)
-        ci = iter(c0s)
-        # compile both lengths; fetch drains the device queue.
-        float(g(next(ci), variables, window, anchors, 1))
-        float(g(next(ci), variables, window, anchors, 1 + n))
-        ds = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(g(next(ci), variables, window, anchors, 1))
-            t1 = time.perf_counter()
-            float(g(next(ci), variables, window, anchors, 1 + n))
-            t2 = time.perf_counter()
-            ds.append(((t2 - t1) - (t1 - t0)) / n)
-        return float(np.median(ds))
+        return dispatch_chain_time_ms(
+            make_scalar, window, n=n, reps=reps,
+            extra=(variables, anchors),
+        ) / 1e3
 
     rng = np.random.RandomState(0)
     rows = []
