@@ -412,9 +412,10 @@ def main() -> None:
             "clip_device_chunk": clip_device_chunk,
             "clip_upload_ms": _r(clip_upload_ms, 2),
             "correlation_fwd_ms_c4": _r(corr_ms, 4),
-            "secondaries_timing": "chained-scan-slope (r4+; earlier rounds' "
-            "serving secondaries predate the slope discipline -- "
-            "non-comparable)",
+            "secondaries_timing": "production-dispatch-chained slope "
+            "(r5+, trace-anchored within 1.3% -- PERF.md; serving "
+            "secondaries from rounds <= 3 predate device-synced timing "
+            "and are non-comparable)",
         }
     )
     # enriched re-print: same headline keys/values, now with secondaries.
