@@ -72,6 +72,8 @@ def main() -> None:
     from detect_to_track_tpu.config import load_config
 
     cfg = load_config(args.cfg)
+    if not (args.sampler or args.anchors):
+        parser.error("nothing to check: pass --sampler and/or --anchors")
     if args.sampler:
         check_sampler(cfg, args.synthetic)
     if args.anchors:
