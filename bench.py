@@ -403,6 +403,30 @@ def main() -> None:
         if ms and (not clip_device_fps or chunk * 1e3 / ms > clip_device_fps):
             clip_device_fps, clip_device_chunk = chunk * 1e3 / ms, chunk
 
+    # host-s2d input variant at the best chunk: deletes the 3-channel stem
+    # conv + input layout copy (together 16% of the chunk-8 dispatch --
+    # PERF.md "Serving roofline verdict"); production path = Detector with
+    # HOST_S2D=True (same bytes through the tunnel).
+    def _clip_s2d():
+        from detect_to_track_tpu.utils import space_to_depth2
+
+        chunk = clip_device_chunk or (4 if tiny else 8)
+        if not tiny:
+            probe = _subproc_probe("clip_s2d", chunk)
+            if probe is None or probe.get("ok") is not True:
+                _wait_chip_recovery()
+                return None
+        window = jax.device_put(space_to_depth2(frames16[:chunk]))
+        ms = dispatch_chain_time_ms(
+            lambda x, v, a: _leafsum(detect_clip(model, v, x, a, cfg=cfg)),
+            window,
+            n=8,
+            extra=(variables, anchors),
+        )
+        return chunk * 1e3 / ms
+
+    clip_device_s2d_fps = _secondary(_clip_s2d, "clip_device_s2d")
+
     record.update(
         {
             "inference_pairs_per_sec": _r(infer_pairs_per_sec),
@@ -410,6 +434,7 @@ def main() -> None:
             "clip_tracking_fps": _r(clip_fps),
             "clip_device_fps": _r(clip_device_fps),
             "clip_device_chunk": clip_device_chunk,
+            "clip_device_s2d_fps": _r(clip_device_s2d_fps),
             "clip_upload_ms": _r(clip_upload_ms, 2),
             "correlation_fwd_ms_c4": _r(corr_ms, 4),
             "secondaries_timing": "production-dispatch-chained slope "

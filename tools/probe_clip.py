@@ -171,6 +171,15 @@ def main() -> None:
         )[:-1]
         return jnp.sum(confs) + jnp.sum(boxes) + jnp.sum(tracks)
 
+    def run_clip_s2d(v, x, a):
+        # same graph as "clip" but fed the host-s2d input layout
+        # ((F, H/2, W/2, 12) -- utils.space_to_depth2); the backbone's
+        # 4x4/s1 12-channel stem consumes it without the 3-channel stem
+        # conv or the input layout copy (PERF.md "Serving roofline
+        # verdict": together 16% of the chunk-8 dispatch).
+        out = detect_clip(model, v, x, a, cfg=cfg)
+        return jnp.sum(out.confs) + jnp.sum(out.boxes) + jnp.sum(out.tracks)
+
     stages = {
         "backbone": run_backbone,
         "rpn": run_rpn,
@@ -178,6 +187,7 @@ def main() -> None:
         "rcnn": run_rcnn,
         "compact": run_compact,
         "clip": run_clip,
+        "clip_s2d": run_clip_s2d,
         "clip_unfixed": run_clip_unfixed,
         "clip_barrier": run_clip_barrier,
         "clip_roll": run_clip_roll,
@@ -205,9 +215,12 @@ def main() -> None:
         jfn = jax.jit(fn)
         fargs = (variables, pyr0, pyr1, reg0, reg0 + 0.25, rois)
     else:
-        window = jnp.asarray(
-            rng.rand(args.chunk, h, w, 3).astype(np.float32)
-        )
+        frames = rng.rand(args.chunk, h, w, 3).astype(np.float32)
+        if args.stage == "clip_s2d":
+            from detect_to_track_tpu.utils import space_to_depth2
+
+            frames = space_to_depth2(frames)
+        window = jnp.asarray(frames)
         jfn = jax.jit(stages[args.stage])
         fargs = (variables, window, anchors)
 
